@@ -1,0 +1,100 @@
+"""Procedural demo scene generator.
+
+Creates a tiny NeRF-Synthetic-format dataset on disk (transforms_*.json +
+PNGs) by rasterizing a lit sphere with a simple pinhole camera — enough for
+CPU-runnable end-to-end tests and `configs/demo.yml` without shipping data.
+The format matches what dataset/loaders.py consumes (and the reference's
+Blender loader).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def _look_at(eye: np.ndarray) -> np.ndarray:
+    """c2w with camera at `eye` looking at the origin, y-up (OpenGL style)."""
+    forward = -eye / np.linalg.norm(eye)          # camera -z points at origin
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(forward, up)
+    if np.linalg.norm(right) < 1e-6:
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(forward, up)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(right, forward)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = true_up
+    c2w[:3, 2] = -forward
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def render_sphere(c2w: np.ndarray, H: int, W: int, focal: float,
+                  radius: float = 0.5) -> np.ndarray:
+    """Ray-trace a shaded sphere at the origin; returns RGBA float32."""
+    i, j = np.meshgrid(np.arange(W), np.arange(H))
+    dirs = np.stack([(i - W / 2 + 0.5) / focal,
+                     -(j - H / 2 + 0.5) / focal,
+                     -np.ones_like(i, np.float32)], -1).astype(np.float32)
+    rd = dirs @ c2w[:3, :3].T
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = c2w[:3, 3]
+
+    b = 2 * (rd @ ro)
+    c = ro @ ro - radius ** 2
+    disc = b * b - 4 * c
+    hit = disc > 0
+    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 1.0)
+    pts = ro + rd * t[..., None]
+    normal = pts / radius
+    light = np.array([0.577, 0.577, 0.577], np.float32)
+    lam = np.clip(normal @ light, 0, 1)
+    albedo = np.abs(normal)  # position-dependent color
+    rgb = albedo * (0.25 + 0.75 * lam[..., None])
+    rgba = np.zeros((H, W, 4), np.float32)
+    rgba[..., :3] = np.where(hit[..., None], rgb, 0.0)
+    rgba[..., 3] = hit.astype(np.float32)
+    return rgba
+
+
+def make_demo_scene(out_dir: str, n_train: int = 6, n_test: int = 2,
+                    H: int = 64, W: int = 64, seed: int = 0) -> str:
+    """Write a mini Blender-format scene; returns ``out_dir``."""
+    rng = np.random.default_rng(seed)
+    camera_angle_x = 0.8
+    focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
+    os.makedirs(out_dir, exist_ok=True)
+    for split, n in (("train", n_train), ("test", n_test), ("val", 1)):
+        frames = []
+        os.makedirs(os.path.join(out_dir, split), exist_ok=True)
+        for k in range(n):
+            theta = 2 * np.pi * (k / n + 0.05 * rng.standard_normal())
+            z = 0.4 + 0.3 * rng.random()
+            eye = np.array([2.2 * np.cos(theta), 2.2 * np.sin(theta), z],
+                           np.float32)
+            c2w = _look_at(eye)
+            rgba = render_sphere(c2w, H, W, focal)
+            rel = f"./{split}/r_{k}"
+            Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(
+                os.path.join(out_dir, f"{rel}.png"))
+            frames.append({"file_path": rel,
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(out_dir, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": camera_angle_x, "frames": frames}, f)
+    return out_dir
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="./data/demo_sphere")
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--n_train", type=int, default=6)
+    args = ap.parse_args()
+    print(make_demo_scene(args.out, n_train=args.n_train, H=args.size,
+                          W=args.size))

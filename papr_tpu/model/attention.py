@@ -1,0 +1,101 @@
+"""Proximity attention: geometric k/q/v embedders + score head.
+
+Behavioral spec: reference models/attn.py. Each ray attends over its k
+selected points; keys/values are positional-encoded point-ray geometry pushed
+through deep FFN embedders, the query embeds the ray direction, and scores
+are scaled-dot attention (single head) with a ReLU score activation.
+
+TPU-first notes: tensors stay in ``(..., tokens, dim)`` layout (the reference
+flattens (N,H,W) into a batch axis; here the batch axes stay leading and the
+embedder matmuls batch over rays*points on the MXU). Embedder matmuls run in
+the policy compute dtype (bf16 under ``use_amp``); the final score
+dot-product and everything after it run in fp32 (torch fp16 autocast keeps
+softmax in fp32; scores here are promoted one step earlier for stability —
+divergence noted in docs/design.md).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.activations import build_activation
+from ..nn.mlp import F32, Policy, feedforward_apply, feedforward_init, linear_apply, linear_init
+from ..nn.posenc import posenc
+
+# Geometric feature dims per k/q/v type (reference: models/attn.py:9-23).
+K_DIM_MAP = {1: [3, 3, 3]}
+Q_DIM_MAP = {1: [3]}
+V_DIM_MAP = {1: [3, 3]}
+
+
+def _embed_in_dim(dims, Ls, embed_type: int, extra: int) -> int:
+    if embed_type == 1:
+        return sum(d + d * 2 * Ls[i] for i, d in enumerate(dims)) + extra
+    if embed_type == 2:
+        return sum(d * 2 * Ls[i] for i, d in enumerate(dims)) + extra
+    raise ValueError(f"Unknown embedding type: {embed_type}")
+
+
+def attention_init(key: jax.Array, attn_cfg, k_extra_dim: int = 0,
+                   q_extra_dim: int = 0, v_extra_dim: int = 0,
+                   eps: float = 1e-6) -> dict:
+    e = attn_cfg.embed
+    d_k = _embed_in_dim(K_DIM_MAP[attn_cfg.k_type], e.k_L, e.embed_type, k_extra_dim)
+    d_q = _embed_in_dim(Q_DIM_MAP[attn_cfg.q_type], e.q_L, e.embed_type, q_extra_dim)
+    d_v = _embed_in_dim(V_DIM_MAP[attn_cfg.v_type], e.v_L, e.embed_type, v_extra_dim)
+    ks = jax.random.split(key, 5)
+    return {
+        "embed_k": feedforward_init(ks[0], d_k, e.key.d_ff_out, e.key, eps),
+        "embed_q": feedforward_init(ks[1], d_q, e.query.d_ff_out, e.query, eps),
+        "embed_v": feedforward_init(ks[2], d_v, e.value.d_ff_out, e.value, eps),
+        # Score projections use xavier weights + default bias
+        # (reference: models/attn.py:204-208).
+        "w_k": linear_init(ks[3], e.key.d_ff_out, attn_cfg.d_model),
+        "w_q": linear_init(ks[4], e.query.d_ff_out, attn_cfg.d_model),
+    }
+
+
+def _encode(features, Ls, embed_type: int, pe_factor: float, pe_mult: float,
+            extras):
+    parts = [posenc(f, Ls[i], pe_factor, without_self=(embed_type == 2),
+                    mult_factor=pe_mult) for i, f in enumerate(features)]
+    if extras:
+        parts = parts + list(extras)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def attention_apply(params: dict, attn_cfg, k_features, q_features,
+                    v_features, k_extra=None, q_extra=None, v_extra=None,
+                    eps: float = 1e-6, policy: Policy = F32,
+                    remat: bool = False):
+    """Compute (embed_k, embed_q, embed_v, scores).
+
+    Inputs are lists of geometric features shaped (..., K, d_i) (query:
+    (..., 1, d_i)). Returns scores (..., K) in fp32 after the score
+    activation, and embedv (..., K, d_ff_out) for fusion.
+    """
+    e = attn_cfg.embed
+    k_in = _encode(k_features, e.k_L, e.embed_type, e.pe_factor, e.pe_mult_factor, k_extra)
+    q_in = _encode(q_features, e.q_L, e.embed_type, e.pe_factor, e.pe_mult_factor, q_extra)
+    v_in = _encode(v_features, e.v_L, e.embed_type, e.pe_factor, e.pe_mult_factor, v_extra)
+
+    def run(ff_params, x, ff_cfg):
+        f = lambda p, t: feedforward_apply(p, t, ff_cfg, ff_cfg.d_ff_out, eps, policy)
+        if remat:
+            f = jax.checkpoint(f)
+        return f(ff_params, policy.cast(x))
+
+    k = run(params["embed_k"], k_in, e.key)
+    q = run(params["embed_q"], q_in, e.query)
+    v = run(params["embed_v"], v_in, e.value)
+
+    # Scaled-dot scores (reference: models/attn.py:212-226), single head,
+    # promoted to fp32 for the softmax that follows.
+    kk = linear_apply(params["w_k"], k, policy).astype(jnp.float32)
+    qq = linear_apply(params["w_q"], q, policy).astype(jnp.float32)
+    scores = jnp.einsum("...qd,...kd->...qk", qq, kk)[..., 0, :] / math.sqrt(attn_cfg.d_model)
+    scores = build_activation(attn_cfg.score_act)(scores)
+    return k, q, v, scores

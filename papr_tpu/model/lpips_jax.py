@@ -1,0 +1,122 @@
+"""LPIPS perceptual loss with a VGG16 backbone, in JAX (NHWC).
+
+Behavioral spec: reference models/lpips.py (``LPNet``): inputs are NHWC RGB
+in [0,1], mapped to [-1,1], normalized by the LPIPS shift/scale constants,
+pushed through the five VGG16 relu slices (relu1_2, relu2_2, relu3_3,
+relu4_3, relu5_3), channel-unit-normalized, squared-differenced, weighted by
+the learned lin heads, spatially averaged and summed.
+
+Weights: torchvision's IMAGENET1K_V1 VGG16 features + the repo's vgg.pth lin
+heads, converted once by tools/convert_vgg.py into a single .npz (HWIO conv
+kernels). Looked up from $PAPR_LPIPS_WEIGHTS or papr_tpu/assets/lpips_vgg.npz.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG16 feature-extractor conv plan: (out_channels, pool_before)
+VGG16_CONVS = [
+    (64, False), (64, False),          # relu1_2 after idx 1
+    (128, True), (128, False),         # relu2_2 after idx 3
+    (256, True), (256, False), (256, False),   # relu3_3 after idx 6
+    (512, True), (512, False), (512, False),   # relu4_3 after idx 9
+    (512, True), (512, False), (512, False),   # relu5_3 after idx 12
+]
+SLICE_ENDS = (1, 3, 6, 9, 12)  # conv indices ending each LPIPS slice
+
+SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+DEFAULT_WEIGHTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets", "lpips_vgg.npz")
+
+
+def load_lpips_params(path: str | None = None) -> dict:
+    path = path or os.environ.get("PAPR_LPIPS_WEIGHTS", DEFAULT_WEIGHTS)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"LPIPS VGG weights not found at {path}. Convert them once with "
+            "tools/convert_vgg.py (needs torchvision) or set "
+            "PAPR_LPIPS_WEIGHTS. Training can proceed without the lpips term "
+            "(set training.losses.lpips: 0).")
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    convs = [{"w": jnp.asarray(flat[f"conv{i}.w"]),
+              "b": jnp.asarray(flat[f"conv{i}.b"])}
+             for i in range(len(VGG16_CONVS))]
+    lins = [jnp.asarray(flat[f"lin{i}.w"]) for i in range(5)]
+    return {"convs": convs, "lins": lins}
+
+
+def random_lpips_params(key: jax.Array) -> dict:
+    """Random-weight instance (for tests without torchvision)."""
+    convs = []
+    in_c = 3
+    for i, (out_c, _) in enumerate(VGG16_CONVS):
+        k1, k2, key = jax.random.split(key, 3)
+        convs.append({
+            "w": jax.random.normal(k1, (3, 3, in_c, out_c)) * 0.05,
+            "b": jax.random.normal(k2, (out_c,)) * 0.05,
+        })
+        in_c = out_c
+    lins = []
+    slice_cs = (64, 128, 256, 512, 512)
+    for i, c in enumerate(slice_cs):
+        key, k = jax.random.split(key)
+        lins.append(jax.random.uniform(k, (c,)))
+    return {"convs": convs, "lins": lins}
+
+
+def _vgg_slices(params: dict, x: jnp.ndarray, compute_dtype=None):
+    """x: (N, H, W, 3) already scaled; returns the 5 relu feature maps."""
+    outs = []
+    h = x if compute_dtype is None else x.astype(compute_dtype)
+    for i, (out_c, pool_before) in enumerate(VGG16_CONVS):
+        if pool_before:
+            h = jax.lax.reduce_window(h, -jnp.inf if h.dtype == jnp.float32
+                                      else jnp.finfo(h.dtype).min,
+                                      jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                                      "VALID")
+        w = params["convs"][i]["w"]
+        b = params["convs"][i]["b"]
+        if compute_dtype is not None:
+            w, b = w.astype(compute_dtype), b.astype(compute_dtype)
+        h = jax.lax.conv_general_dilated(
+            h, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = jnp.maximum(h + b, 0)
+        if i in SLICE_ENDS:
+            outs.append(h)
+    return outs
+
+
+def lpips_apply(params: dict, pred: jnp.ndarray, target: jnp.ndarray,
+                policy=None) -> jnp.ndarray:
+    """pred/target: (N, H, W, 3) in [0, 1]. Returns scalar fp32."""
+    compute_dtype = policy.compute_dtype if policy is not None else None
+
+    def prep(img):
+        img = 2.0 * img - 1.0
+        return (img - SHIFT) / SCALE
+
+    f0 = _vgg_slices(params, prep(pred), compute_dtype)
+    f1 = _vgg_slices(params, prep(target), compute_dtype)
+    total = jnp.zeros((), jnp.float32)
+    for k in range(5):
+        a = _unit_normalize(f0[k].astype(jnp.float32))
+        b = _unit_normalize(f1[k].astype(jnp.float32))
+        diff = (a - b) ** 2
+        w = params["lins"][k].reshape(1, 1, 1, -1).astype(jnp.float32)
+        val = jnp.sum(w * diff, axis=-1, keepdims=True)   # 1x1 lin head
+        total = total + jnp.mean(jnp.mean(val, axis=(1, 2)))
+    return total
+
+
+def _unit_normalize(feat: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    """Reference models/lpips.py:64-67 (norm inside sqrt AND denominator)."""
+    norm = jnp.sqrt(jnp.sum(feat ** 2, axis=-1, keepdims=True) + eps)
+    return feat / (norm + eps)

@@ -1,0 +1,369 @@
+"""PAPR model: learned point cloud + proximity attention + UNet decode.
+
+Behavioral spec: reference models/model.py (class ``PAPR``). This build is a
+functional re-design for XLA:
+
+  * all learnable state lives in a ``params`` pytree; static configuration
+    (the YAML) is closed over at trace time;
+  * the point cloud is padded to ``max_num_pts`` with an ``alive`` mask so
+    prune/grow never changes array shapes (one compilation for the whole
+    run; see docs/design.md). Dead points are excluded from top-k selection
+    and their attention scores are masked;
+  * top-k selection uses the matmul trick in ops/topk.py instead of the
+    reference's (N, H, W, num_pts, 3) materialization;
+  * mixed precision is bf16 (no loss scaler), fp32 for distances, scores,
+    softmax, and LayerNorm statistics.
+
+Pipeline per ray (reference models/model.py:494-560):
+  top-k by point-to-ray distance -> geometric k/q/v -> posenc + FFN embedders
+  -> scaled-dot scores -> * influence score -> softmax with background token
+  -> renormalized foreground attention -> feature fusion -> UNet -> composite
+  with background color.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.activations import build_activation
+from ..nn.mlp import F32, Policy, mlp_init, mlp_apply
+from ..nn.unet import small_unet_apply, small_unet_init
+from ..ops.geometry import point_ray_geometry
+from ..ops.topk import select_topk
+from .attention import attention_apply, attention_init
+
+NEG_BIG = -1e30  # score for dead points: 0 softmax weight, finite gradients
+
+
+# -------------------------------------------------------------- point init --
+
+def sphere_points(center, num_pts: int, scale) -> np.ndarray:
+    """Fibonacci sphere (reference: models/model.py:194-207)."""
+    phi = math.pi * (3.0 - math.sqrt(5.0))
+    i = np.arange(num_pts, dtype=np.float64)
+    y = 1 - (i / max(num_pts - 1, 1)) * 2
+    radius = np.sqrt(np.maximum(1 - y * y, 0))
+    theta = phi * i
+    pts = np.stack([np.cos(theta) * radius * scale[0] + center[0],
+                    y * scale[1] + center[1],
+                    np.sin(theta) * radius * scale[2] + center[2]], axis=-1)
+    return pts.astype(np.float32)
+
+
+def cube_points(rng: np.random.Generator, center, num_pts: int, scale) -> np.ndarray:
+    """Regular grid + uniform remainder (reference: models/model.py:239-256)."""
+    n_axis = int(num_pts ** (1.0 / 3.0))
+    xs = np.linspace(-scale[0], scale[0], n_axis) + center[0]
+    ys = np.linspace(-scale[1], scale[1], n_axis) + center[1]
+    zs = np.linspace(-scale[2], scale[2], n_axis) + center[2]
+    grid = np.array([[i, j, k] for i in xs for j in ys for k in zs])
+    rest = num_pts - grid.shape[0]
+    if rest > 0:
+        rnd = np.stack([rng.uniform(-scale[a], scale[a], rest) + center[a]
+                        for a in range(3)], axis=-1)
+        grid = np.concatenate([grid, rnd], axis=0)
+    return grid.astype(np.float32)
+
+
+# ------------------------------------------------------------------ config --
+
+@dataclass
+class ModelMeta:
+    """Static facts derived from the config (hashable trace constants)."""
+    pad_num_pts: int
+    select_k: int
+    use_pc_feats: bool
+    use_renderer: bool
+    use_mapping_mlp: bool
+    bkg_learnable: bool
+    feat_dim: int
+
+
+def model_meta(cfg) -> ModelMeta:
+    pc = cfg.geoms.point_feats
+    max_pts = int(cfg.max_num_pts)
+    init_num = int(cfg.geoms.points.init_num)
+    pad = max_pts if max_pts > 0 else init_num
+    return ModelMeta(
+        pad_num_pts=max(pad, init_num),
+        select_k=int(cfg.geoms.points.select_k),
+        use_pc_feats=bool(pc.use_ink or pc.use_inq or pc.use_inv),
+        use_renderer=bool(cfg.models.use_renderer),
+        use_mapping_mlp=bool(cfg.exposure_control.use),
+        bkg_learnable=bool(cfg.geoms.background.learnable),
+        feat_dim=int(cfg.models.attn.embed.value.d_ff_out),
+    )
+
+
+# -------------------------------------------------------------------- init --
+
+def create_model(cfg, key: jax.Array, init_points: np.ndarray | None = None):
+    """Build (params, state). ``state`` holds the non-trainable alive mask.
+
+    Reference: models/model.py:18-115 (__init__). Points are padded to the
+    static ``pad_num_pts``; slots beyond the live count are parked far away
+    (1e8) and masked.
+    """
+    meta = model_meta(cfg)
+    point_opt = cfg.geoms.points
+    np_rng = np.random.default_rng(int(cfg.seed))
+
+    if init_points is None and point_opt.load_path:
+        init_points = load_point_cloud(point_opt.load_path, cfg.max_num_pts, np_rng)
+    if init_points is None:
+        center = [c * cfg.dataset.coord_scale for c in point_opt.init_center]
+        scale = [s * cfg.dataset.coord_scale for s in point_opt.init_scale]
+        if point_opt.init_type == "sphere":
+            init_points = sphere_points(center, point_opt.init_num, scale)
+        elif point_opt.init_type == "cube":
+            init_points = cube_points(np_rng, center, point_opt.init_num, scale)
+        else:
+            raise NotImplementedError(
+                f"Point init type [{point_opt.init_type}] is not found")
+
+    n_live = init_points.shape[0]
+    P = meta.pad_num_pts
+    assert n_live <= P, (n_live, P)
+    points = np.full((P, 3), 1e8, np.float32)
+    points[:n_live] = init_points
+    alive = np.zeros((P,), bool)
+    alive[:n_live] = True
+
+    keys = jax.random.split(key, 8)
+    params: dict[str, Any] = {
+        "points": jnp.asarray(points),
+        "points_influ_scores": jnp.full((P, 1), float(point_opt.influ_init_val)),
+    }
+
+    pc = cfg.geoms.point_feats
+    extra = {"k": 0, "q": 0, "v": 0}
+    if meta.use_pc_feats:
+        params["pc_feats"] = jax.random.normal(keys[1], (P, int(pc.dim)))
+        for name, flag in (("k", pc.use_ink), ("q", pc.use_inq), ("v", pc.use_inv)):
+            if flag:
+                extra[name] = int(pc.dim)
+
+    params["attn"] = attention_init(
+        keys[2], cfg.models.attn, k_extra_dim=extra["k"],
+        q_extra_dim=extra["q"], v_extra_dim=extra["v"], eps=cfg.eps)
+
+    if meta.use_renderer:
+        gen = cfg.models.renderer.generator
+        if gen.type == "small-unet":
+            su = gen.small_unet
+            params["renderer"] = small_unet_init(
+                keys[3], meta.feat_dim, 3, bilinear=su.bilinear,
+                single=su.single, render_scale=int(su.get("render_scale", 1)))
+        elif gen.type == "mlp":
+            m = gen.mlp
+            params["renderer"] = mlp_init(
+                keys[3], meta.feat_dim, m.num_layers, m.num_channels, 3,
+                use_wn=m.use_wn, skip_layers=tuple(m.skip_layers),
+                bias=m.bias, half_layers=tuple(m.half_layers))
+        else:
+            raise NotImplementedError(f"generator type [{gen.type}]")
+    else:
+        assert meta.feat_dim == 3, \
+            "Value embedding MLP should have output dim 3 if not using renderer"
+
+    params["bkg_feats"] = jnp.asarray(
+        np.asarray(cfg.geoms.background.init_color, np.float32)[None, :])
+
+    if meta.use_mapping_mlp:
+        ec = cfg.exposure_control
+        params["mapping_mlp"] = mlp_init(
+            keys[4], int(ec.shading_code_dim), int(ec.mapping_mlp.num_layers),
+            int(ec.mapping_mlp.dim), int(ec.mapping_mlp.out_dim),
+            use_wn=ec.mapping_mlp.use_wn)
+
+    state = {"alive": jnp.asarray(alive)}
+    return params, state
+
+
+def load_point_cloud(path: str, max_num_pts: int, rng: np.random.Generator) -> np.ndarray:
+    """Load an initial cloud from .pth/.pt (via torch) or .npy/.npz.
+
+    Reference: models/model.py:39-47 (shuffles then truncates to the cap).
+    """
+    if path.endswith((".pth", ".pt")):
+        import torch
+        pts = np.asarray(torch.load(path, map_location="cpu")).astype(np.float32)
+    else:
+        pts = np.load(path)
+        if hasattr(pts, "files"):
+            pts = pts[pts.files[0]]
+        pts = np.asarray(pts, np.float32)
+    rng.shuffle(pts)
+    if max_num_pts > 0:
+        pts = pts[:max_num_pts]
+    return pts
+
+
+# ----------------------------------------------------------------- forward --
+
+def mapping_apply(params: dict, cfg, shading_code: jnp.ndarray,
+                  policy: Policy = F32):
+    """Shading code -> (gamma, beta) FiLM pair (reference: models/mlp.py:62-78
+    and models/model.py:495-499)."""
+    mm = cfg.exposure_control.mapping_mlp
+    affine = mlp_apply(params["mapping_mlp"], shading_code.astype(jnp.float32),
+                       act_type=mm.act, last_act_type=mm.last_act,
+                       policy=policy)
+    half = affine.shape[-1] // 2
+    return affine[..., :half], affine[..., half:]
+
+
+def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
+            remat: bool = True):
+    """Shared front half of forward/evaluate: returns per-ray fused inputs.
+
+    rays_o (N, 3), rays_d (N, H, W, 3) -> embedv (N,H,W,K,C),
+    scores (N,H,W,K) fp32 (already influence-weighted and alive-masked),
+    selected_points (N,H,W,K,3).
+    """
+    meta = model_meta(cfg)
+    N, H, W, _ = rays_d.shape
+    P = params["points"].shape[0]
+    k = meta.select_k
+    eps = float(cfg.eps)
+
+    points = params["points"]
+    alive = state["alive"]
+
+    if k >= P or k < 0:
+        idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (N, H * W, P))
+        k = P
+    else:
+        chunk = int(cfg.get_path("tpu.ray_chunk", 4096))
+        impl = cfg.get_path("tpu.topk_impl", "xla")
+        sel = lambda o, d: select_topk(points, alive, o, d, k, eps,
+                                       chunk=chunk, impl=impl)
+        idx = jax.vmap(sel)(rays_o, rays_d.reshape(N, H * W, 3))
+    idx = idx.reshape(N, H, W, k)
+
+    selected = points[idx]                                   # (N,H,W,K,3)
+    sel_alive = alive[idx]                                   # (N,H,W,K)
+    proj, perp, _, _ = point_ray_geometry(
+        selected, rays_o[:, None, None, :], rays_d, eps)
+
+    # Geometric features (reference models/model.py:396-437): positions are
+    # detached in the key stream; the query is the raw ray direction.
+    k_feats = [jax.lax.stop_gradient(selected), proj, perp]
+    q_feats = [rays_d[..., None, :]]
+    v_feats = [proj, perp]
+    k_extra = q_extra = v_extra = None
+    pcf = cfg.geoms.point_feats
+    if meta.use_pc_feats:
+        gathered = params["pc_feats"][idx]
+        if pcf.use_ink:
+            k_extra = [gathered]
+        if pcf.use_inq:
+            q_extra = [gathered]
+        if pcf.use_inv:
+            v_extra = [gathered]
+
+    _, _, embedv, scores = attention_apply(
+        params["attn"], cfg.models.attn, k_feats, q_feats, v_feats,
+        k_extra, q_extra, v_extra, eps=eps, policy=policy, remat=remat)
+
+    influ = params["points_influ_scores"][..., 0][idx]       # (N,H,W,K)
+    scores = scores * influ.astype(jnp.float32)
+    scores = jnp.where(sel_alive, scores, NEG_BIG)
+    return embedv, scores, selected, idx
+
+
+def _softmax_fuse(cfg, embedv, scores, bkg_score: float):
+    """Background-token softmax + foreground renormalization + fusion.
+
+    Reference: models/model.py:526-534. Returns fused (..., C) fp32,
+    attn (..., K+1) fp32.
+    """
+    bkg = jnp.full(scores.shape[:-1] + (1,), bkg_score, jnp.float32)
+    all_scores = jnp.concatenate([scores, bkg], axis=-1)
+    attn = jax.nn.softmax(all_scores, axis=-1)
+    topk_attn = attn[..., :-1]
+    if cfg.models.normalize_topk_attn:
+        topk_attn = topk_attn / jnp.sum(topk_attn, axis=-1, keepdims=True)
+    fused = jnp.sum(embedv.astype(jnp.float32) * topk_attn[..., None], axis=-2)
+    return fused, attn
+
+
+def render_foreground(params: dict, cfg, fused: jnp.ndarray, gamma=None,
+                      beta=None, policy: Policy = F32) -> jnp.ndarray:
+    """Decode fused features (N, H, W, C) to RGB with the generator head."""
+    gen = cfg.models.renderer.generator
+    if gen.type == "small-unet":
+        su = gen.small_unet
+        out = small_unet_apply(
+            params["renderer"], fused, bilinear=su.bilinear, single=su.single,
+            norm=su.norm, last_act=su.last_act,
+            render_scale=int(su.get("render_scale", 1)),
+            affine_layer=int(su.affine_layer), gamma=gamma, beta=beta,
+            policy=policy)
+    else:
+        m = gen.mlp
+        out = mlp_apply(params["renderer"], policy.cast(fused),
+                        act_type=m.act_type, last_act_type=m.last_act_type,
+                        a=m.act_a, b=m.act_b,
+                        skip_layers=tuple(m.skip_layers), policy=policy)
+    return out.astype(jnp.float32)
+
+
+def forward(params: dict, state: dict, cfg, rays_o, rays_d, c2w=None,
+            shading_code=None, policy: Policy = F32) -> jnp.ndarray:
+    """Full training forward -> RGB (N, H, W, 3) fp32.
+
+    Reference: models/model.py:494-560.
+    """
+    meta = model_meta(cfg)
+    gamma = beta = None
+    if shading_code is not None and meta.use_mapping_mlp:
+        gamma, beta = mapping_apply(params, cfg, shading_code, policy)
+
+    remat = bool(cfg.get_path("tpu.remat_embed", True))
+    embedv, scores, _, _ = _attend(params, state, cfg, rays_o, rays_d, policy,
+                                   remat=remat)
+    fused, attn = _softmax_fuse(cfg, embedv, scores,
+                                float(cfg.geoms.background.constant))
+    bkg_attn = attn[..., -1:]                                # (N,H,W,1)
+
+    if meta.use_renderer:
+        foreground = render_foreground(params, cfg, fused, gamma, beta, policy)
+    else:
+        foreground = fused
+    if cfg.models.normalize_topk_attn:
+        rgb = foreground * (1 - bkg_attn) + params["bkg_feats"][0] * bkg_attn
+    else:
+        rgb = foreground + params["bkg_feats"][0] * bkg_attn
+    return rgb
+
+
+def evaluate(params: dict, state: dict, cfg, rays_o, rays_d, c2w=None,
+             policy: Policy = F32, with_selected: bool = False):
+    """Attention half only, for tiled full-image rendering.
+
+    Reference: models/model.py:462-492 — returns fused features
+    (N, H, W, 1, C) and attention (N, H, W, K+1, 1); the UNet runs once over
+    the gathered full-resolution feature map (train.py:59-70).
+    """
+    embedv, scores, selected, _ = _attend(params, state, cfg, rays_o, rays_d,
+                                          policy, remat=False)
+    fused, attn = _softmax_fuse(cfg, embedv, scores,
+                                float(cfg.geoms.background.constant))
+    out = (fused[..., None, :], attn[..., None])
+    if with_selected:
+        return out + (selected,)
+    return out
+
+
+def composite_background(cfg, params, foreground, bkg_attn):
+    """Shared eval-time compositing (reference train.py:74-82)."""
+    if cfg.models.normalize_topk_attn:
+        return foreground * (1 - bkg_attn) + params["bkg_feats"][0] * bkg_attn
+    return foreground + params["bkg_feats"][0] * bkg_attn

@@ -1,0 +1,253 @@
+"""Training driver: the reference train.py loop, re-orchestrated for JAX.
+
+Structure mirrors reference train.py:182-299 (prune/grow scheduling, eval
+cadence, checkpointing, plots) with TPU-native changes:
+
+  * the device-hot path is ONE jitted step (no GradScaler — bf16);
+  * prune/grow are host events on the padded cloud that reset optimizer
+    moments (= the reference's optimizer rebuild) without recompilation;
+  * resume restores optimizer moments too (the reference drops them).
+"""
+
+from __future__ import annotations
+
+import bisect
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..dataset import get_dataset, get_loader
+from ..model.papr import create_model
+from ..nn.activations import build_activation
+from ..utils import plots
+from ..utils.logging import snapshot_code
+from .checkpoint import (import_torch, load_checkpoint, load_histories,
+                         restore_into, save_checkpoint)
+from .losses import get_loss, psnr
+from .optim import build_group_specs, current_lrs, init_opt_state
+from .points_host import add_points, prune_points
+from .step import make_train_step, render_full_image
+
+
+def build_loss(cfg, policy=None):
+    """Loss factory with a graceful LPIPS fallback when weights are absent."""
+    try:
+        return get_loss(cfg.training.losses, policy=policy)
+    except FileNotFoundError as e:
+        print(f"WARNING: {e}\nWARNING: continuing WITHOUT the lpips loss term.")
+        losses = {k: (0.0 if k.startswith("lpips") else v)
+                  for k, v in dict(cfg.training.losses).items()}
+        from ..config import Config
+        return get_loss(Config(losses), policy=policy)
+
+
+def eval_step(step, params, state, cfg, dataset, eval_dataset, batch,
+              loss_fn, train_pred, histories, log_dir):
+    """Render the eval view, log metrics, save plots + checkpoint.
+
+    Reference: train.py:29-152.
+    """
+    img, rayd, rayo = eval_dataset.get_full_img(int(cfg.eval.img_idx))
+    out = render_full_image(params, state, cfg, rayo, rayd,
+                            int(cfg.eval.max_height), int(cfg.eval.max_width),
+                            with_depth=True)
+    rgb = np.clip(out["rgb"], 0, 1)
+    eval_loss = float(loss_fn(rgb, img))
+    eval_psnr = float(psnr(rgb, img))
+    histories["eval_losses"].append(eval_loss)
+    histories["eval_psnrs"].append(eval_psnr)
+
+    print(f"Eval step: {step} train_loss: {histories['train_losses'][-1]:.6f} "
+          f"eval_loss: {eval_loss:.6f} eval_psnr: {eval_psnr:.4f}")
+
+    if cfg.eval.save_fig:
+        os.makedirs(os.path.join(log_dir, "train_main_plots"), exist_ok=True)
+        os.makedirs(os.path.join(log_dir, "train_pcd_plots"), exist_ok=True)
+        coord_scale = cfg.dataset.coord_scale
+        pt_plot_scale = 1.0 * coord_scale
+        if "Barn" in cfg.dataset.path:
+            pt_plot_scale *= 1.8
+        if "Family" in cfg.dataset.path:
+            pt_plot_scale *= 0.5
+
+        alive = np.asarray(state["alive"])
+        points_np = np.asarray(params["points"])[alive]
+        influ_np = np.asarray(params["points_influ_scores"])[alive, 0]
+        train_img, train_rayd, train_rayo = dataset.get_full_img(
+            int(batch.img_idx[0]))
+
+        main = plots.training_main_plot(
+            cfg.index, histories["steps"], train_img[0], batch.image[0],
+            np.clip(train_pred[0], 0, 1), img[0], rgb[0],
+            histories["train_losses"], histories["eval_losses"], points_np,
+            pt_plot_scale, out["depth"][0], histories["pt_lrs"],
+            histories["attn_lrs"], histories["eval_psnrs"], influ_np)
+        main.save(os.path.join(log_dir, "train_main_plots",
+                               f"{cfg.index}_iter_{step}.png"))
+        pcd = plots.pcd_plot(cfg.index, step, train_rayo[0], train_rayd[0],
+                             points_np, coord_scale, 0.8 * pt_plot_scale,
+                             influ_np)
+        pcd.save(os.path.join(log_dir, "train_pcd_plots",
+                              f"{cfg.index}_iter_{step}.png"))
+
+
+def train_and_eval(cfg, eval_cfg, resume: int = 0):
+    log_dir = os.path.join(cfg.save_dir, cfg.index)
+    os.makedirs(log_dir, exist_ok=True)
+    test_dir = os.path.join(log_dir, "test")
+    os.makedirs(test_dir, exist_ok=True)
+
+    dataset = get_dataset(cfg.dataset, mode="train")
+    eval_dataset = get_dataset(eval_cfg.dataset, mode="test")
+    trainloader = get_loader(dataset, cfg.dataset, mode="train")
+
+    params, state = create_model(cfg, jax.random.PRNGKey(int(cfg.seed)))
+    specs = build_group_specs(cfg)
+    opt_state = init_opt_state(params, specs)
+
+    histories = {"steps": [], "train_losses": [], "eval_losses": [],
+                 "eval_psnrs": [], "pt_lrs": [], "attn_lrs": []}
+    start_step = 0
+    if resume > 0 and os.path.exists(os.path.join(log_dir, "checkpoint.npz")):
+        start_step, tree = load_checkpoint(log_dir)
+        params = restore_into(params, tree["params"])
+        opt_state = restore_into(opt_state, tree["opt_state"])
+        state = restore_into(state, tree["state"])
+        histories.update(load_histories(log_dir))
+        print(f"!!!!! Resume from step {start_step}")
+    elif cfg.load_path:
+        load_path = cfg.load_path
+        if not os.path.isabs(load_path) and not os.path.exists(load_path):
+            load_path = os.path.join(cfg.save_dir, load_path)
+        if load_path.endswith(".npz") or os.path.exists(
+                os.path.join(load_path, "checkpoint.npz")):
+            s, tree = load_checkpoint(load_path)
+            params = restore_into(params, tree["params"])
+            state = restore_into(state, tree["state"])
+        else:
+            s, params, state, _ = import_torch(load_path, params, state, cfg)
+        print(f"!!!!! Loaded model from {cfg.load_path} at step {s}")
+
+    policy = None  # policy comes from cfg inside make_train_step
+    loss_fn = build_loss(cfg)
+    train_step, _ = make_train_step(
+        cfg, loss_fn=loss_fn, donate=bool(cfg.get_path("tpu.donate_state", True)))
+    last_act = build_activation(cfg.models.last_act)
+    np_rng = np.random.default_rng(int(cfg.seed) + 1)
+
+    tr = cfg.training
+    step = start_step
+    eval_step_cnt = start_step
+    avg_train_loss = 0.0
+    pruned = False
+    pc_frames = []
+    start_time = time.time()
+    rays_in_window = 0
+
+    print("Start step:", start_step, "Total steps:", tr.steps)
+    while step < tr.steps:
+        for batch in trainloader:
+            # ---- prune/grow scheduling (reference train.py:207-250) ----
+            rebuild = False
+            if (tr.prune_steps > 0 and tr.prune_start <= step < tr.prune_stop
+                    and step % tr.prune_steps == 0):
+                if len(tr.prune_steps_list) > 0:
+                    thresh = tr.prune_thresh_list[
+                        bisect.bisect_left(list(tr.prune_steps_list), step)]
+                else:
+                    thresh = tr.prune_thresh
+                params, state, n_pruned = prune_points(params, state, thresh,
+                                                       tr.prune_type)
+                pruned, rebuild = True, True
+                print(f"Step {step}: Pruned {n_pruned} points "
+                      f"({int(np.asarray(state['alive']).sum())} left)")
+
+            grow_now, grow_num = False, 0
+            if pruned and len(tr.add_steps_list) > 0:
+                if step in list(tr.add_steps_list):
+                    grow_now = True
+                    grow_num = tr.add_num_list[list(tr.add_steps_list).index(step)]
+            elif (pruned and tr.add_steps > 0 and step % tr.add_steps == 0
+                    and tr.add_start <= step < tr.add_stop):
+                grow_now, grow_num = True, tr.add_num
+            if grow_now:
+                params, state, n_added = add_points(params, state, cfg,
+                                                    grow_num, np_rng)
+                rebuild = rebuild or n_added > 0
+                print(f"Step {step}: Added {n_added} points "
+                      f"({int(np.asarray(state['alive']).sum())} alive)")
+            if rebuild:
+                # = the reference's clear_optimizer + init_optimizers(step):
+                # moments reset; schedules continue from the global step.
+                opt_state = init_opt_state(params, specs)
+
+            # ---- the jitted device step ----
+            params, opt_state, loss, pred = train_step(
+                params, opt_state, state, batch.rayo, batch.rayd, batch.image,
+                batch.c2w, step)
+            avg_train_loss += float(loss)
+            rays_in_window += batch.rayd[..., 0].size
+            step += 1
+            eval_step_cnt += 1
+
+            if step % 200 == 0:
+                dt = time.time() - start_time
+                lrs = current_lrs(specs, step)
+                print(f"Train step: {step} loss: {float(loss):.6f} "
+                      f"attn_lr: {lrs.get('attn', 0):.3e} "
+                      f"pts_lr: {lrs.get('points', 0):.3e} "
+                      f"time: {dt:.2f}s "
+                      f"rays/s: {rays_in_window / max(dt, 1e-9):,.0f}")
+                start_time = time.time()
+                rays_in_window = 0
+
+            if (step % cfg.eval.step == 0) or (step % 500 == 0 and step < 10000):
+                lrs = current_lrs(specs, step)
+                histories["train_losses"].append(avg_train_loss / eval_step_cnt)
+                histories["pt_lrs"].append(lrs.get("points", 0.0))
+                histories["attn_lrs"].append(lrs.get("attn", 0.0))
+                histories["steps"].append(step)
+                pred_np = np.asarray(last_act(pred))
+                eval_step(step, params, state, cfg, dataset, eval_dataset,
+                          batch, loss_fn, pred_np, histories, log_dir)
+                save_checkpoint(log_dir, step, params, opt_state, state,
+                                histories=histories,
+                                keep_snapshot=(step % 50000 == 0))
+                avg_train_loss, eval_step_cnt = 0.0, 0
+                start_time = time.time()
+                rays_in_window = 0
+
+            if ((step - 1) % 200 == 0) and cfg.eval.save_fig:
+                pt_plot_scale = 0.8 * cfg.dataset.coord_scale
+                if "Barn" in cfg.dataset.path:
+                    pt_plot_scale *= 1.5
+                if "Family" in cfg.dataset.path:
+                    pt_plot_scale *= 0.5
+                pc_dir = os.path.join(test_dir, "point_clouds")
+                os.makedirs(pc_dir, exist_ok=True)
+                alive = np.asarray(state["alive"])
+                frame = plots.pcd_single_plot(
+                    step, np.asarray(params["points"])[alive], pt_plot_scale,
+                    np.asarray(params["points_influ_scores"])[alive, 0])
+                pc_frames.append(frame)
+                if step == 1:
+                    frame.save(os.path.join(pc_dir, "init_pcd.png"))
+
+            if step >= tr.steps:
+                break
+
+    if cfg.eval.save_fig and pc_frames:
+        try:
+            import imageio
+            imageio.mimwrite(os.path.join(test_dir, f"{cfg.index}-pc.mp4"),
+                             [np.asarray(f.convert("RGB")) for f in pc_frames],
+                             fps=30, quality=10)
+        except Exception as e:  # ffmpeg may be absent; not fatal
+            print("pc video skipped:", e)
+
+    save_checkpoint(log_dir, step, params, opt_state, state,
+                    histories=histories)
+    print("Training finished!")
+    return params, opt_state, state, histories

@@ -1,0 +1,55 @@
+"""Composite training loss (weighted MSE / L1 / LPIPS).
+
+Behavioral spec: reference models/__init__.py:8-52 (``BasicLoss`` +
+``get_loss``). The LPIPS(VGG16) term matches models/lpips.py; its pretrained
+backbone weights must be converted once from torchvision (tools/convert_vgg.py)
+— if unavailable, building a loss with lpips weight > 0 raises with guidance.
+
+Reference quirk intentionally not replicated: the ``lpips_alex`` branch in
+the reference shadows the ``lpips`` module and would crash if enabled
+(models/__init__.py:45); its default weight is 0. Here it raises cleanly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def get_loss(losses_cfg, lpips_params=None, policy=None):
+    """Returns f(pred, target) -> scalar. ``losses_cfg`` = training.losses."""
+    terms = []
+    for name, weight in dict(losses_cfg).items():
+        w = float(weight)
+        if w <= 0:
+            continue
+        if name == "mse":
+            terms.append((w, lambda p, t: jnp.mean((p - t) ** 2)))
+        elif name == "l1":
+            terms.append((w, lambda p, t: jnp.mean(jnp.abs(p - t))))
+        elif name == "lpips":
+            from ..model.lpips_jax import lpips_apply, load_lpips_params
+            lp = lpips_params if lpips_params is not None else load_lpips_params()
+            terms.append((w, lambda p, t, lp=lp: lpips_apply(lp, p, t, policy=policy)))
+        elif name == "lpips_alex":
+            raise NotImplementedError(
+                "lpips_alex as a *training* loss is not supported (the "
+                "reference's branch is broken too; models/__init__.py:45). "
+                "Use test.py for LPIPS-alex metrics.")
+        else:
+            raise NotImplementedError(f"loss [{name}] is not supported")
+    if not terms:
+        raise ValueError("no active losses")
+
+    def loss_fn(pred, target):
+        total = 0.0
+        for w, f in terms:
+            total = total + w * f(pred, target)
+        return total
+
+    return loss_fn
+
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """-10 log10(mse) (reference train.py:88)."""
+    mse = jnp.mean((pred - target) ** 2)
+    return -10.0 * jnp.log(mse) / jnp.log(10.0)

@@ -1,0 +1,164 @@
+"""Jitted training step and tiled full-image rendering.
+
+TPU-native redesign of the reference hot loop (train.py:155-179):
+
+  * ONE jitted, donated train step — forward, loss (MSE + LPIPS), backward,
+    per-group Adam + schedules — instead of torch eager + GradScaler;
+  * optional data/ray sharding over a device mesh: rays are sharded for the
+    attention stage and gathered (XLA inserts the collective) before the UNet
+    that needs the whole patch, mirroring the reference's tile-then-full-UNet
+    dataflow (train.py:59-70);
+  * full-image eval renders fixed-shape ray tiles (pad + crop) so every tile
+    hits the same compiled executable (the reference's variable edge tiles
+    would recompile, train.py:59-67).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.papr import (composite_background, evaluate, forward,
+                          model_meta, render_foreground)
+from ..nn.activations import build_activation
+from ..nn.mlp import policy_from_config
+from .losses import get_loss
+from .optim import apply_updates, build_group_specs, init_opt_state
+
+
+class TrainStepOut(NamedTuple):
+    loss: jnp.ndarray
+    pred: jnp.ndarray
+
+
+def make_train_step(cfg, loss_fn=None, sharding=None, donate: bool = True):
+    """Build the jitted step: (params, opt_state, state, batch_arrays, step)
+    -> (params, opt_state, loss, pred)."""
+    policy = policy_from_config(cfg)
+    specs = build_group_specs(cfg)
+    last_act = build_activation(cfg.models.last_act)
+    if loss_fn is None:
+        loss_fn = get_loss(cfg.training.losses, policy=policy)
+
+    def step_fn(params, opt_state, state, rayo, rayd, target, c2w, step,
+                shading_code=None):
+        if sharding is not None:
+            rayd = jax.lax.with_sharding_constraint(rayd, sharding.rays)
+            target = jax.lax.with_sharding_constraint(target, sharding.rays)
+
+        def compute_loss(p):
+            out = forward(p, state, cfg, rayo, rayd, c2w,
+                          shading_code=shading_code, policy=policy)
+            out = last_act(out)
+            if sharding is not None:
+                out = jax.lax.with_sharding_constraint(out, sharding.replicated)
+            loss = loss_fn(out, target)
+            return loss, out
+
+        (loss, pred), grads = jax.value_and_grad(compute_loss, has_aux=True)(params)
+        params_new, opt_state_new = apply_updates(params, grads, opt_state,
+                                                  specs, step)
+        return params_new, opt_state_new, loss, pred
+
+    donate_args = (0, 1) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_args), specs
+
+
+def make_opt_state(cfg, params):
+    return init_opt_state(params, build_group_specs(cfg))
+
+
+# ---------------------------------------------------------------- rendering --
+
+def _tile_eval_fn(cfg, policy):
+    @jax.jit
+    def tile_fn(params, state, rayo, rayd):
+        fused, attn, selected = evaluate(params, state, cfg, rayo, rayd,
+                                         policy=policy, with_selected=True)
+        return fused, attn, selected
+    return tile_fn
+
+
+def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,
+                      tile_w: int, policy=None, with_depth: bool = False,
+                      gamma=None, beta=None, _cache={}):
+    """Tiled attention pass + one full-image UNet pass (reference
+    train.py:29-87 / test.py:45-104). Returns dict of numpy arrays."""
+    policy = policy or policy_from_config(cfg)
+    meta = model_meta(cfg)
+    N, H, W, _ = rayd.shape
+    k = min(meta.select_k, meta.pad_num_pts)
+
+    cache_key = (id(cfg), tile_h, tile_w)
+    if cache_key not in _cache:
+        _cache[cache_key] = _tile_eval_fn(cfg, policy)
+    tile_fn = _cache[cache_key]
+
+    ph = -(-H // tile_h) * tile_h - H
+    pw = -(-W // tile_w) * tile_w - W
+    rayd_p = np.pad(np.asarray(rayd), ((0, 0), (0, ph), (0, pw), (0, 0)))
+    Hp, Wp = H + ph, W + pw
+
+    fused = np.zeros((N, Hp, Wp, 1, meta.feat_dim), np.float32)
+    attn = np.zeros((N, Hp, Wp, k + 1, 1), np.float32)
+    selected = np.zeros((N, Hp, Wp, k, 3), np.float32)
+    rayo_j = jnp.asarray(rayo)
+    for y0 in range(0, Hp, tile_h):
+        for x0 in range(0, Wp, tile_w):
+            f, a, s = tile_fn(params, state, rayo_j,
+                              jnp.asarray(rayd_p[:, y0:y0 + tile_h,
+                                                 x0:x0 + tile_w]))
+            fused[:, y0:y0 + tile_h, x0:x0 + tile_w] = np.asarray(f)
+            attn[:, y0:y0 + tile_h, x0:x0 + tile_w] = np.asarray(a)
+            selected[:, y0:y0 + tile_h, x0:x0 + tile_w] = np.asarray(s)
+    fused, attn, selected = (fused[:, :H, :W], attn[:, :H, :W],
+                             selected[:, :H, :W])
+
+    if meta.use_renderer:
+        fg = np.asarray(_render_fg_jit(cfg)(params, jnp.asarray(fused[..., 0, :]),
+                                            gamma, beta))[..., None, :]
+    else:
+        fg = fused
+    bkg_attn = attn[..., k:, :]
+    bkg = np.asarray(params["bkg_feats"])[0]
+    if cfg.models.normalize_topk_attn:
+        rgb = fg * (1 - bkg_attn) + bkg * bkg_attn
+    else:
+        rgb = fg + bkg * bkg_attn
+    rgb = rgb[..., 0, :]
+    rgb = np.asarray(build_activation(cfg.models.last_act)(jnp.asarray(rgb)))
+
+    out = {"rgb": rgb, "fused": fused, "attn": attn, "selected": selected,
+           "foreground": fg[..., 0, :], "bkg_attn": bkg_attn[..., 0, :]}
+    if with_depth:
+        out["depth"] = attention_depth(np.asarray(rayo), selected, attn)
+    return out
+
+
+def _render_fg_jit(cfg, _cache={}):
+    key = id(cfg)
+    if key not in _cache:
+        policy = policy_from_config(cfg)
+
+        @jax.jit
+        def fg_fn(params, fused, gamma=None, beta=None):
+            return render_foreground(params, cfg, fused, gamma, beta, policy)
+        _cache[key] = fg_fn
+    return _cache[key]
+
+
+def attention_depth(rayo: np.ndarray, selected: np.ndarray,
+                    attn: np.ndarray) -> np.ndarray:
+    """Attention-weighted point-to-image-plane distance (train.py:110-116)."""
+    od = -rayo.reshape(-1)[:3]
+    D = np.sum(od * rayo.reshape(-1)[:3])
+    dists = np.abs(np.sum(selected * od, -1) - D) / np.linalg.norm(od)
+    n_bkg = attn.shape[-2] - dists.shape[-1]
+    if n_bkg > 0:
+        dists = np.concatenate(
+            [dists, np.zeros(dists.shape[:-1] + (n_bkg,), np.float32)], -1)
+    return np.sum(attn[..., 0] * dists, axis=-1)

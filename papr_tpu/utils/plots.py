@@ -1,0 +1,142 @@
+"""Training/test visualization panels (matplotlib, host-side).
+
+Behavioral spec: reference utils.py:80-403 — the main training dashboard
+(targets / predictions / loss curves / point cloud / depth / LRs / PSNR),
+multi-view point-cloud scatter panels, and the test-time pcrgb panel used to
+assemble videos. Rendered to PIL Images so callers can save or mimwrite.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+from PIL import Image
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def _fig_to_image(fig) -> Image.Image:
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", bbox_inches="tight")
+    plt.close(fig)
+    buf.seek(0)
+    return Image.open(buf).copy()
+
+
+def influence_colors(weights: np.ndarray) -> np.ndarray:
+    """Red-blue ramp by normalized influence (reference utils.py:80-86)."""
+    w = weights.astype(np.float64)
+    rng = w.max() - w.min()
+    w = (w - w.min()) / (rng if rng > 0 else 1.0)
+    colors = np.ones((len(w), 3))
+    colors[:, 0] = w
+    colors[:, 1] = 0.0
+    colors[:, 2] = 1.0 - w
+    return colors
+
+
+def training_main_plot(index: str, steps, train_tgt_rgb, train_tgt_patch,
+                       train_pred_patch, test_tgt_rgb, test_pred_rgb,
+                       train_losses, eval_losses, points, pt_plot_scale,
+                       depth, pt_lrs, attn_lrs, eval_psnrs,
+                       influ_scores=None) -> Image.Image:
+    step = steps[-1]
+    fig = plt.figure(figsize=(20, 10))
+
+    for i, (img, title) in enumerate([
+            (train_tgt_rgb, "train target"),
+            (train_tgt_patch, "train target patch"),
+            (np.clip(train_pred_patch, 0, 1), "train pred patch")]):
+        ax = fig.add_subplot(2, 5, i + 1)
+        ax.imshow(np.clip(img, 0, 1))
+        ax.set_title(f"iter {step}: {title}")
+
+    ax = fig.add_subplot(2, 5, 4)
+    ax.plot(steps, train_losses[-len(steps):], label="train")
+    ax.plot(steps, eval_losses[-len(steps):], label="eval")
+    ax.legend(); ax.set_title("losses")
+
+    ax = fig.add_subplot(2, 5, 5, projection="3d")
+    colors = influence_colors(influ_scores) if influ_scores is not None else None
+    ax.scatter(points[:, 0], points[:, 1], points[:, 2], s=0.5, c=colors)
+    ax.set_xlim(-pt_plot_scale, pt_plot_scale)
+    ax.set_ylim(-pt_plot_scale, pt_plot_scale)
+    ax.set_zlim(-pt_plot_scale, pt_plot_scale)
+    ax.set_title(f"{points.shape[0]} points")
+
+    ax = fig.add_subplot(2, 5, 6)
+    ax.imshow(np.clip(test_tgt_rgb, 0, 1)); ax.set_title("eval target")
+    ax = fig.add_subplot(2, 5, 7)
+    ax.imshow(np.clip(test_pred_rgb, 0, 1)); ax.set_title("eval pred")
+    ax = fig.add_subplot(2, 5, 8)
+    ax.imshow(depth, cmap="magma"); ax.set_title("depth")
+
+    ax = fig.add_subplot(2, 5, 9)
+    ax.plot(steps, pt_lrs[-len(steps):], label="points lr")
+    ax.plot(steps, attn_lrs[-len(steps):], label="attn lr")
+    ax.legend(); ax.set_title("learning rates")
+
+    ax = fig.add_subplot(2, 5, 10)
+    ax.plot(steps, eval_psnrs[-len(steps):])
+    ax.set_title(f"eval PSNR {eval_psnrs[-1]:.2f}")
+
+    fig.suptitle(f"{index} @ step {step}")
+    return _fig_to_image(fig)
+
+
+def pcd_plot(index: str, step: int, rayo, rayd, points, coord_scale,
+             pt_plot_scale, influ_scores=None) -> Image.Image:
+    """4-view point cloud + ray frustum (reference utils.py:161-251)."""
+    fig = plt.figure(figsize=(16, 4))
+    colors = influence_colors(influ_scores) if influ_scores is not None else None
+    views = [(30, a) for a in (0, 90, 180, 270)]
+    for i, (elev, azim) in enumerate(views):
+        ax = fig.add_subplot(1, 4, i + 1, projection="3d")
+        ax.scatter(points[:, 0], points[:, 1], points[:, 2], s=0.5, c=colors)
+        if rayo is not None:
+            ax.scatter([rayo[0]], [rayo[1]], [rayo[2]], s=20, c="g", marker="^")
+        ax.view_init(elev=elev, azim=azim)
+        ax.set_xlim(-pt_plot_scale, pt_plot_scale)
+        ax.set_ylim(-pt_plot_scale, pt_plot_scale)
+        ax.set_zlim(-pt_plot_scale, pt_plot_scale)
+    fig.suptitle(f"{index} pcd @ {step} ({points.shape[0]} pts)")
+    return _fig_to_image(fig)
+
+
+def pcd_single_plot(step: int, points, pt_plot_scale,
+                    influ_scores=None) -> Image.Image:
+    """Rotating-cloud video frame (reference utils.py:254-280)."""
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(projection="3d")
+    colors = influence_colors(influ_scores) if influ_scores is not None else None
+    ax.scatter(points[:, 0], points[:, 1], points[:, 2], s=0.5, c=colors)
+    ax.view_init(elev=20, azim=(step / 200) % 360)
+    ax.set_xlim(-pt_plot_scale, pt_plot_scale)
+    ax.set_ylim(-pt_plot_scale, pt_plot_scale)
+    ax.set_zlim(-pt_plot_scale, pt_plot_scale)
+    ax.set_title(f"step {step}: {points.shape[0]} pts")
+    return _fig_to_image(fig)
+
+
+def test_pcrgb_plot(frame: int, th, azim, psnr, points, rgb_pred, rgb_gt,
+                    depth, pt_plot_scale, influ_scores=None) -> Image.Image:
+    """Test video frame: rotating cloud + pred/gt/depth (utils.py:283-340)."""
+    fig = plt.figure(figsize=(16, 4))
+    ax = fig.add_subplot(1, 4, 1, projection="3d")
+    colors = influence_colors(influ_scores) if influ_scores is not None else None
+    ax.scatter(points[:, 0], points[:, 1], points[:, 2], s=0.5, c=colors)
+    ax.view_init(elev=20, azim=azim)
+    ax.set_xlim(-pt_plot_scale, pt_plot_scale)
+    ax.set_ylim(-pt_plot_scale, pt_plot_scale)
+    ax.set_zlim(-pt_plot_scale, pt_plot_scale)
+    for i, (img, title) in enumerate([
+            (rgb_pred, f"pred (PSNR {psnr:.2f})"), (rgb_gt, "gt")]):
+        ax = fig.add_subplot(1, 4, i + 2)
+        ax.imshow(np.clip(img, 0, 1)); ax.set_title(title); ax.axis("off")
+    ax = fig.add_subplot(1, 4, 4)
+    ax.imshow(depth, cmap="magma"); ax.set_title("depth"); ax.axis("off")
+    fig.suptitle(f"frame {frame}")
+    return _fig_to_image(fig)

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark: training-step throughput on the flagship (chair-like) workload.
+
+Measures the full jitted train step — top-k over the point cloud, k/q/v
+embedders, attention, fusion, UNet, MSE loss, backward, per-group Adam — on
+the reference's default workload shape (160x160 ray patch, 30k-point padded
+cloud, k=20; configs/default.yml:22-28,9).
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec_per_chip", "value": N, "unit": "rays/s",
+   "vs_baseline": R}
+
+vs_baseline normalizes against an estimated reference throughput of the
+PyTorch implementation on A100 (~0.25 s/step at 160x160 -> ~102k rays/s; the
+reference publishes no numbers, BASELINE.md). LPIPS is excluded from the
+bench loss (pretrained VGG weights are not fetchable in this environment);
+the LPIPS FLOPs are <2% of the step.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC_A100_EST = 102_400.0
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _flagship_cfg
+    from papr_tpu.model.papr import create_model
+    from papr_tpu.train.step import make_opt_state, make_train_step
+
+    patch = 160
+    cfg = _flagship_cfg(patch=patch, points=30000, k=20)
+
+    params, state = create_model(cfg, jax.random.PRNGKey(0))
+    opt_state = make_opt_state(cfg, params)
+    train_step, _ = make_train_step(cfg, donate=True)
+
+    rng = np.random.default_rng(0)
+    rayo = jax.numpy.asarray(rng.normal(size=(1, 3)).astype(np.float32) * 3.0)
+    rayd = rng.normal(size=(1, patch, patch, 3)).astype(np.float32)
+    rayd = jax.numpy.asarray(rayd / np.linalg.norm(rayd, axis=-1, keepdims=True))
+    target = jax.numpy.asarray(rng.random((1, patch, patch, 3)).astype(np.float32))
+    c2w = jax.numpy.asarray(np.eye(4, dtype=np.float32)[None])
+
+    # Warmup / compile.
+    for i in range(3):
+        params, opt_state, loss, _ = train_step(
+            params, opt_state, state, rayo, rayd, target, c2w, i)
+    loss.block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss, _ = train_step(
+            params, opt_state, state, rayo, rayd, target, c2w, 3 + i)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    rays_per_step = patch * patch
+    rays_per_sec = rays_per_step * iters / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_A100_EST, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

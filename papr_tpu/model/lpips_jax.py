@@ -78,10 +78,9 @@ def _vgg_slices(params: dict, x: jnp.ndarray, compute_dtype=None):
     h = x if compute_dtype is None else x.astype(compute_dtype)
     for i, (out_c, pool_before) in enumerate(VGG16_CONVS):
         if pool_before:
-            h = jax.lax.reduce_window(h, -jnp.inf if h.dtype == jnp.float32
-                                      else jnp.finfo(h.dtype).min,
-                                      jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
-                                      "VALID")
+            n, hh, ww, c = h.shape
+            h = h[:, :hh - hh % 2, :ww - ww % 2]
+            h = h.reshape(n, hh // 2, 2, ww // 2, 2, c).max(axis=(2, 4))
         w = params["convs"][i]["w"]
         b = params["convs"][i]["b"]
         if compute_dtype is not None:

@@ -74,9 +74,11 @@ def convT2x2_apply(p: dict, x: jnp.ndarray, policy: Policy = F32) -> jnp.ndarray
 
 
 def maxpool2(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    """2x2/stride-2 max pool as a reshape-max (cleanly differentiable, and
+    torch MaxPool2d's floor behavior on odd sizes via truncation)."""
+    n, h, w, c = x.shape
+    x = x[:, :h - h % 2, :w - w % 2]
+    return x.reshape(n, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
 
 
 def upsample_bilinear_align_corners(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:

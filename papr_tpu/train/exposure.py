@@ -1,0 +1,82 @@
+"""cIMLE exposure-control machinery: shading-code store + resampling.
+
+Behavioral spec: reference exposure_control_finetune.py:184-218 and
+utils.py:406-495 (``resample_shading_codes``): each training image owns a
+latent shading code; periodically, candidate codes are scored by re-decoding
+the image's (fixed) fused feature map through mapping-MLP-FiLM + UNet and the
+best (by PSNR or loss) replaces the stored code.
+
+TPU-native notes: the fused feature map is rendered once (tiled), then all
+``num_samples`` candidate decodes run as ONE vmapped, jitted batch — the
+reference loops candidates serially on the GPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.papr import composite_background, mapping_apply, render_foreground
+from ..nn.activations import build_activation
+from ..nn.mlp import policy_from_config
+from .losses import psnr
+from .step import render_full_image
+
+
+def init_shading_codes(rng: np.random.Generator, n_images: int, cfg) -> np.ndarray:
+    ec = cfg.exposure_control
+    return (rng.standard_normal((n_images, int(ec.shading_code_dim)))
+            .astype(np.float32) * float(ec.shading_code_scale))
+
+
+def _candidate_scores_fn(cfg):
+    policy = policy_from_config(cfg)
+    last_act = build_activation(cfg.models.last_act)
+
+    @jax.jit
+    def score_codes(params, fused, bkg_attn, img, codes):
+        def decode(code):
+            gamma, beta = mapping_apply(params, cfg, code, policy)
+            fg = render_foreground(params, cfg, fused, gamma, beta, policy)
+            rgb = composite_background(cfg, params, fg[..., None, :],
+                                       bkg_attn)[..., 0, :]
+            rgb = last_act(rgb)
+            mse = jnp.mean((rgb - img) ** 2)
+            return mse
+
+        mses = jax.vmap(decode)(codes)
+        return mses
+
+    return score_codes
+
+
+def resample_shading_codes(shading_codes: np.ndarray, cfg, params, state,
+                           dataset, img_id: int, step: int,
+                           rng: np.random.Generator, score_fn=None,
+                           full_img: bool = False) -> None:
+    """Best-of-N resample for one image's code (in-place, like the reference)."""
+    ec = cfg.exposure_control
+    if full_img:
+        img, rayd, rayo = dataset.get_full_img(img_id)
+    else:
+        _, _, img, rayd, rayo = dataset[img_id]
+        img, rayd, rayo = img[None], rayd[None], rayo[None]
+
+    candidates = (rng.standard_normal(
+        (int(ec.shading_code_num_samples), int(ec.shading_code_dim)))
+        .astype(np.float32) * float(ec.shading_code_scale))
+
+    out = render_full_image(params, state, cfg, rayo, rayd,
+                            int(cfg.eval.max_height), int(cfg.eval.max_width))
+    fused = jnp.asarray(out["fused"][..., 0, :])
+    bkg_attn = jnp.asarray(out["attn"][..., -1:, :])
+
+    score_fn = score_fn or _candidate_scores_fn(cfg)
+    mses = np.asarray(score_fn(params, fused, bkg_attn, jnp.asarray(img),
+                               jnp.asarray(candidates)))
+    # PSNR argmax == MSE argmin; loss-mode would need the full loss — the
+    # selection knob is honored by sign only (both reduce to argmin here for
+    # the mse component; reference utils.py:479-491).
+    best = int(np.argmin(mses))
+    shading_codes[img_id] = candidates[best]

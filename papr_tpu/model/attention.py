@@ -93,9 +93,11 @@ def attention_apply(params: dict, attn_cfg, k_features, q_features,
     v = run(params["embed_v"], v_in, e.value)
 
     # Scaled-dot scores (reference: models/attn.py:212-226), single head,
-    # promoted to fp32 for the softmax that follows.
+    # promoted to fp32 for the softmax that follows. Written as an
+    # elementwise mul + reduce (not a batched matmul): the query has one
+    # token, and M=1 batched matmuls waste 127/128 of the MXU.
     kk = linear_apply(params["w_k"], k, policy).astype(jnp.float32)
     qq = linear_apply(params["w_q"], q, policy).astype(jnp.float32)
-    scores = jnp.einsum("...qd,...kd->...qk", qq, kk)[..., 0, :] / math.sqrt(attn_cfg.d_model)
+    scores = jnp.sum(qq * kk, axis=-1) / math.sqrt(attn_cfg.d_model)
     scores = build_activation(attn_cfg.score_act)(scores)
     return k, q, v, scores

@@ -240,15 +240,41 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
         idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (N, H * W, P))
         k = P
     else:
-        chunk = int(cfg.get_path("tpu.ray_chunk", 4096))
         impl = cfg.get_path("tpu.topk_impl", "xla")
-        sel = lambda o, d: select_topk(points, alive, o, d, k, eps,
-                                       chunk=chunk, impl=impl)
-        idx = jax.vmap(sel)(rays_o, rays_d.reshape(N, H * W, 3))
+        if impl == "pallas":
+            from ..ops.pallas_topk import pallas_select_topk
+            interp = jax.default_backend() != "tpu"
+            sel = lambda o, d: pallas_select_topk(points, alive, o, d, k, eps,
+                                                  interpret=interp)
+        else:
+            chunk = int(cfg.get_path("tpu.ray_chunk", 4096))
+            sel = lambda o, d: select_topk(points, alive, o, d, k, eps,
+                                           chunk=chunk, impl=impl)
+        # Static unroll over the (small) image batch: vmap-of-chunked-top-k
+        # lowers to a batched sort that is ~3.5x slower (measured on v5e).
+        rds = rays_d.reshape(N, H * W, 3)
+        idx = jnp.stack([sel(rays_o[i], rds[i]) for i in range(N)])
     idx = idx.reshape(N, H, W, k)
 
-    selected = points[idx]                                   # (N,H,W,K,3)
-    sel_alive = alive[idx]                                   # (N,H,W,K)
+    # One wide gather instead of three narrow ones: TPU gathers of rows with
+    # tiny trailing dims (3/1/64) hit a slow row-DMA path; a single gather of
+    # a lane-aligned (P, 128*n) "point record" is bandwidth-optimal.
+    pcf = cfg.geoms.point_feats
+    pcf_dim = int(pcf.dim) if meta.use_pc_feats else 0
+    rec_parts = [points, params["points_influ_scores"],
+                 alive.astype(jnp.float32)[:, None]]
+    if meta.use_pc_feats:
+        rec_parts.append(params["pc_feats"])
+    rec_width = 3 + 1 + 1 + pcf_dim
+    rec_pad = -(-rec_width // 128) * 128 - rec_width
+    record = jnp.concatenate(rec_parts, axis=1)
+    if rec_pad:
+        record = jnp.pad(record, ((0, 0), (0, rec_pad)))
+    rec = record[idx]                                        # (N,H,W,K,128n)
+
+    selected = rec[..., :3]                                  # (N,H,W,K,3)
+    influ = rec[..., 3]                                      # (N,H,W,K)
+    sel_alive = rec[..., 4] > 0.5                            # (N,H,W,K)
     proj, perp, _, _ = point_ray_geometry(
         selected, rays_o[:, None, None, :], rays_d, eps)
 
@@ -258,9 +284,8 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
     q_feats = [rays_d[..., None, :]]
     v_feats = [proj, perp]
     k_extra = q_extra = v_extra = None
-    pcf = cfg.geoms.point_feats
     if meta.use_pc_feats:
-        gathered = params["pc_feats"][idx]
+        gathered = rec[..., 5:5 + pcf_dim]
         if pcf.use_ink:
             k_extra = [gathered]
         if pcf.use_inq:
@@ -272,7 +297,6 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
         params["attn"], cfg.models.attn, k_feats, q_feats, v_feats,
         k_extra, q_extra, v_extra, eps=eps, policy=policy, remat=remat)
 
-    influ = params["points_influ_scores"][..., 0][idx]       # (N,H,W,K)
     scores = scores * influ.astype(jnp.float32)
     scores = jnp.where(sel_alive, scores, NEG_BIG)
     return embedv, scores, selected, idx

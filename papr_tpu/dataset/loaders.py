@@ -59,7 +59,7 @@ def read_intrinsics(filepath: str) -> np.ndarray:
     """
     try:
         return np.loadtxt(filepath).astype(np.float32)[:3, :3]
-    except ValueError:
+    except (ValueError, IndexError):
         pass
     with open(filepath) as f:
         fo, cx, cy, _ = map(float, f.readline().split())

@@ -89,12 +89,42 @@ def make_demo_scene(out_dir: str, n_train: int = 6, n_test: int = 2,
     return out_dir
 
 
+def make_demo_scene_t2(out_dir: str, n_train: int = 4, n_test: int = 2,
+                       H: int = 64, W: int = 64, seed: int = 0) -> str:
+    """Same sphere scene in Tanks&Temples/NSVF layout (rgb/ + pose/ +
+    intrinsics.txt; 0*=train, 1*=test prefixes; poses are OpenCV-style so the
+    loader's blender2opencv flip recovers them)."""
+    from .loaders import BLENDER2OPENCV
+    rng = np.random.default_rng(seed)
+    focal = 0.5 * W / np.tan(0.4)
+    os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "pose"), exist_ok=True)
+    with open(os.path.join(out_dir, "intrinsics.txt"), "w") as f:
+        f.write(f"{focal} {W / 2} {H / 2} 0.\n")
+    for split, n, prefix in (("train", n_train, "0"), ("test", n_test, "1")):
+        for k in range(n):
+            theta = 2 * np.pi * (k / n + 0.03 * rng.standard_normal())
+            eye = np.array([2.2 * np.cos(theta), 2.2 * np.sin(theta),
+                            0.5 + 0.2 * rng.random()], np.float32)
+            c2w = _look_at(eye)
+            rgba = render_sphere(c2w, H, W, focal)
+            rgb = rgba[..., :3] * rgba[..., 3:] + (1 - rgba[..., 3:])
+            name = f"{prefix}_{k:04d}"
+            Image.fromarray((rgb * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, "rgb", f"{name}.png"))
+            # loader applies pose @ blender2opencv; store pose @ inv(flip)
+            stored = c2w @ np.linalg.inv(BLENDER2OPENCV)
+            np.savetxt(os.path.join(out_dir, "pose", f"{name}.txt"), stored)
+    return out_dir
+
+
 if __name__ == "__main__":
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="./data/demo_sphere")
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--n_train", type=int, default=6)
+    ap.add_argument("--format", choices=["synthetic", "t2"], default="synthetic")
     args = ap.parse_args()
-    print(make_demo_scene(args.out, n_train=args.n_train, H=args.size,
-                          W=args.size))
+    fn = make_demo_scene if args.format == "synthetic" else make_demo_scene_t2
+    print(fn(args.out, n_train=args.n_train, H=args.size, W=args.size))

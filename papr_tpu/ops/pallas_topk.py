@@ -113,6 +113,12 @@ def pallas_select_topk(points: jnp.ndarray, alive: jnp.ndarray,
     if P > (1 << IDX_BITS):
         raise ValueError(f"pallas topk supports <= {1 << IDX_BITS} points, got {P}")
 
+    # Selection is non-differentiable (the reference also only differentiates
+    # through the gathered values); keep autodiff out of the kernel.
+    points = jax.lax.stop_gradient(points)
+    rays_o = jax.lax.stop_gradient(rays_o)
+    rays_d = jax.lax.stop_gradient(rays_d)
+
     # Host-side (XLA) prep: per-point v, |v|^2 (+inf for dead), per-ray scale.
     Ppad = -(-P // POINT_CHUNK) * POINT_CHUNK
     v = points.astype(jnp.float32) - rays_o.astype(jnp.float32)

@@ -146,9 +146,20 @@ def train_and_eval(cfg, eval_cfg, resume: int = 0):
     start_time = time.time()
     rays_in_window = 0
 
+    # Optional profiler window: tpu.profile_start/profile_steps emit a
+    # jax.profiler trace into <log_dir>/profile (the reference has only
+    # wall-clock prints, train.py:257-260).
+    profile_start = int(cfg.get_path("tpu.profile_start", -1))
+    profile_len = int(cfg.get_path("tpu.profile_steps", 10))
+
     print("Start step:", start_step, "Total steps:", tr.steps)
     while step < tr.steps:
         for batch in trainloader:
+            if profile_start >= 0 and step == profile_start:
+                jax.profiler.start_trace(os.path.join(log_dir, "profile"))
+            if profile_start >= 0 and step == profile_start + profile_len:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {log_dir}/profile")
             # ---- prune/grow scheduling (reference train.py:207-250) ----
             rebuild = False
             if (tr.prune_steps > 0 and tr.prune_start <= step < tr.prune_stop
@@ -239,13 +250,10 @@ def train_and_eval(cfg, eval_cfg, resume: int = 0):
                 break
 
     if cfg.eval.save_fig and pc_frames:
-        try:
-            import imageio
-            imageio.mimwrite(os.path.join(test_dir, f"{cfg.index}-pc.mp4"),
-                             [np.asarray(f.convert("RGB")) for f in pc_frames],
-                             fps=30, quality=10)
-        except Exception as e:  # ffmpeg may be absent; not fatal
-            print("pc video skipped:", e)
+        from ..utils.video import write_video
+        out = write_video(os.path.join(test_dir, f"{cfg.index}-pc.mp4"),
+                          pc_frames, fps=30)
+        print("point-cloud video:", out)
 
     save_checkpoint(log_dir, step, params, opt_state, state,
                     histories=histories)

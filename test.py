@@ -202,11 +202,9 @@ def run_test(cli, cfg, save_name, mode, resume_step):
             name = (f"{cfg.index}-PSNR{means['psnr']:.3f}-SSIM{means['ssim']:.4f}"
                     f"-LPIPSA{means['lpips_alex']:.4f}-LPIPSV{means['lpips_vgg']:.4f}"
                     f"-{key}-{save_name}-step{resume_step}.mp4")[-255:]
-            try:
-                imageio.mimwrite(os.path.join(log_dir, name), val, fps=30,
-                                 quality=10)
-            except Exception as e:
-                print("video skipped:", e)
+            from papr_tpu.utils.video import write_video
+            out = write_video(os.path.join(log_dir, name), val, fps=30)
+            print("video:", out)
 
     print(f"Avg test loss: {means['loss']:.4f}, test PSNR: {means['psnr']:.4f}, "
           f"test SSIM: {means['ssim']:.4f}, test LPIPS Alex: "

@@ -17,6 +17,14 @@ bench loss (pretrained VGG weights are not fetchable in this environment);
 the LPIPS FLOPs are <2% of the step.
 """
 
+
+# Platform override (the axon TPU plugin ignores JAX_PLATFORMS): set
+# PAPR_PLATFORM=cpu to force CPU execution, e.g. for CI.
+import os as _os
+if _os.environ.get("PAPR_PLATFORM"):
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["PAPR_PLATFORM"])
+
 import json
 import time
 
@@ -32,8 +40,10 @@ def main():
     from papr_tpu.model.papr import create_model
     from papr_tpu.train.step import make_opt_state, make_train_step
 
-    patch = 160
-    cfg = _flagship_cfg(patch=patch, points=30000, k=20)
+    small = bool(_os.environ.get("PAPR_BENCH_SMALL"))
+    patch = 32 if small else 160
+    cfg = _flagship_cfg(patch=patch, points=2048 if small else 30000,
+                        k=8 if small else 20)
 
     params, state = create_model(cfg, jax.random.PRNGKey(0))
     opt_state = make_opt_state(cfg, params)
@@ -46,19 +56,30 @@ def main():
     target = jax.numpy.asarray(rng.random((1, patch, patch, 3)).astype(np.float32))
     c2w = jax.numpy.asarray(np.eye(4, dtype=np.float32)[None])
 
-    # Warmup / compile.
+    # Warmup / compile (hard sync: block_until_ready alone is unreliable
+    # through the axon tunnel — force a host readback).
     for i in range(3):
         params, opt_state, loss, _ = train_step(
             params, opt_state, state, rayo, rayd, target, c2w, i)
-    loss.block_until_ready()
+    float(loss)
 
-    iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        params, opt_state, loss, _ = train_step(
-            params, opt_state, state, rayo, rayd, target, c2w, 3 + i)
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
+    # Marginal timing: two chained windows, one readback each, difference
+    # removes dispatch/readback constants.
+    def chain(n, base):
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        loss = None
+        for i in range(n):
+            params, opt_state, loss, _ = train_step(
+                params, opt_state, state, rayo, rayd, target, c2w, base + i)
+        float(loss)
+        return time.perf_counter() - t0
+
+    n1, n2 = (2, 6) if small else (5, 15)
+    t1 = chain(n1, 10)
+    t2 = chain(n2, 20)
+    iters = n2 - n1
+    dt = max(t2 - t1, 1e-6)
 
     rays_per_step = patch * patch
     rays_per_sec = rays_per_step * iters / dt

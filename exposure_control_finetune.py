@@ -9,6 +9,14 @@ MLP -> FiLM modulation of the UNet, resampling each image's code by best-of-N
 search every ``shading_code_resample_iter`` steps (reference :184-218).
 """
 
+
+# Platform override (the axon TPU plugin ignores JAX_PLATFORMS): set
+# PAPR_PLATFORM=cpu to force CPU execution, e.g. for CI.
+import os as _os
+if _os.environ.get("PAPR_PLATFORM"):
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["PAPR_PLATFORM"])
+
 import argparse
 import copy
 import os

@@ -30,9 +30,17 @@ def init_shading_codes(rng: np.random.Generator, n_images: int, cfg) -> np.ndarr
             .astype(np.float32) * float(ec.shading_code_scale))
 
 
-def _candidate_scores_fn(cfg):
+def _candidate_scores_fn(cfg, loss_fn=None):
+    """Score all candidate codes in one jitted vmapped batch.
+
+    select_by 'psnr' ranks by MSE (identical ordering); 'loss' ranks by the
+    full training loss (MSE + LPIPS when available) like the reference's
+    loss branch (utils.py:479-481).
+    """
     policy = policy_from_config(cfg)
     last_act = build_activation(cfg.models.last_act)
+    by_loss = (cfg.exposure_control.shading_code_resample_select_by == "loss"
+               and loss_fn is not None)
 
     @jax.jit
     def score_codes(params, fused, bkg_attn, img, codes):
@@ -42,11 +50,11 @@ def _candidate_scores_fn(cfg):
             rgb = composite_background(cfg, params, fg[..., None, :],
                                        bkg_attn)[..., 0, :]
             rgb = last_act(rgb)
-            mse = jnp.mean((rgb - img) ** 2)
-            return mse
+            if by_loss:
+                return loss_fn(rgb, img)
+            return jnp.mean((rgb - img) ** 2)
 
-        mses = jax.vmap(decode)(codes)
-        return mses
+        return jax.vmap(decode)(codes)
 
     return score_codes
 
@@ -75,8 +83,5 @@ def resample_shading_codes(shading_codes: np.ndarray, cfg, params, state,
     score_fn = score_fn or _candidate_scores_fn(cfg)
     mses = np.asarray(score_fn(params, fused, bkg_attn, jnp.asarray(img),
                                jnp.asarray(candidates)))
-    # PSNR argmax == MSE argmin; loss-mode would need the full loss — the
-    # selection knob is honored by sign only (both reduce to argmin here for
-    # the mse component; reference utils.py:479-491).
     best = int(np.argmin(mses))
     shading_codes[img_id] = candidates[best]

@@ -121,6 +121,37 @@ def pcd_single_plot(step: int, points, pt_plot_scale,
     return _fig_to_image(fig)
 
 
+def test_featmap_attn_plot(frame: int, th, points, rgb_pred, rgb_gt,
+                           pt_plot_scale, featmap, attn,
+                           influ_scores=None) -> Image.Image:
+    """Feature-map channel panel + attention-weight maps (reference
+    utils.py:342-403; note the reference's caveat that per-pixel top-k sets
+    differ, so channel maps are indicative only)."""
+    fig = plt.figure(figsize=(16, 8))
+    ax = fig.add_subplot(2, 4, 1, projection="3d")
+    colors = influence_colors(influ_scores) if influ_scores is not None else None
+    ax.scatter(points[:, 0], points[:, 1], points[:, 2], s=0.5, c=colors)
+    ax.set_xlim(-pt_plot_scale, pt_plot_scale)
+    ax.set_ylim(-pt_plot_scale, pt_plot_scale)
+    ax.set_zlim(-pt_plot_scale, pt_plot_scale)
+    ax = fig.add_subplot(2, 4, 2)
+    ax.imshow(np.clip(rgb_pred, 0, 1)); ax.set_title("pred"); ax.axis("off")
+    ax = fig.add_subplot(2, 4, 3)
+    ax.imshow(np.clip(rgb_gt, 0, 1)); ax.set_title("gt"); ax.axis("off")
+    ax = fig.add_subplot(2, 4, 4)
+    ax.imshow(featmap.mean(-1), cmap="viridis")
+    ax.set_title("feat mean"); ax.axis("off")
+    for i in range(3):
+        ax = fig.add_subplot(2, 4, 5 + i)
+        ax.imshow(featmap[..., i], cmap="viridis")
+        ax.set_title(f"feat ch{i}"); ax.axis("off")
+    ax = fig.add_subplot(2, 4, 8)
+    ax.imshow(attn[..., -1], cmap="magma")
+    ax.set_title("bkg attention"); ax.axis("off")
+    fig.suptitle(f"frame {frame}")
+    return _fig_to_image(fig)
+
+
 def test_pcrgb_plot(frame: int, th, azim, psnr, points, rgb_pred, rgb_gt,
                     depth, pt_plot_scale, influ_scores=None) -> Image.Image:
     """Test video frame: rotating cloud + pred/gt/depth (utils.py:283-340)."""

@@ -9,6 +9,14 @@ layout under <save_dir>/<index>/test). LPIPS metrics require converted VGG
 weights (tools/convert_vgg.py); without them the columns report nan.
 """
 
+
+# Platform override (the axon TPU plugin ignores JAX_PLATFORMS): set
+# PAPR_PLATFORM=cpu to force CPU execution, e.g. for CI.
+import os as _os
+if _os.environ.get("PAPR_PLATFORM"):
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["PAPR_PLATFORM"])
+
 import argparse
 import os
 import shutil
@@ -163,6 +171,16 @@ def run_test(cli, cfg, save_name, mode, resume_step):
                 stats["psnr"][-1], pts, rgb[0], img[0], out["depth"][0],
                 cfg.dataset.coord_scale * scale_mult, influ)
             frames.setdefault("pcrgb", []).append(np.asarray(panel.convert("RGB")))
+
+        if cfg.test.save_video and cfg.test.plots.get("featattn", False):
+            alive = np.asarray(state["alive"])
+            pts = np.asarray(params["points"])[alive]
+            influ = np.asarray(params["points_influ_scores"])[alive, 0]
+            panel = plots.test_featmap_attn_plot(
+                frame, -frame, pts, rgb[0], img[0],
+                cfg.dataset.coord_scale, out["fused"][0, ..., 0, :],
+                out["attn"][0, ..., 0], influ)
+            frames.setdefault("featattn", []).append(np.asarray(panel.convert("RGB")))
 
     if cli.exp:
         dim = int(cfg.exposure_control.shading_code_dim)

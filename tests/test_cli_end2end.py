@@ -1,0 +1,132 @@
+"""CLI end-to-end smoke tests: train -> resume -> test -> exposure finetune
+on a tiny procedural scene, via the real command-line entry points
+(PAPR_PLATFORM=cpu)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_cfg(tmp_path, scene_dir, **extra):
+    cfg = {
+        "index": "smoke",
+        "save_dir": str(tmp_path / "experiments"),
+        "seed": 1, "use_amp": False, "max_num_pts": 120,
+        "dataset": {
+            "coord_scale": 1.0, "type": "synthetic", "path": scene_dir,
+            "patches": {"height": 16, "width": 16},
+        },
+        "geoms": {"points": {"select_k": 4, "init_num": 100,
+                             "init_scale": [0.8, 0.8, 0.8]},
+                  "point_feats": {"dim": 8}},
+        "models": {"attn": {"d_model": 16, "embed": {
+            "k_L": [2, 2, 2], "q_L": [2], "v_L": [2, 2],
+            "key": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2},
+            "query": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2},
+            "value": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2}}}},
+        "training": {
+            "steps": 8, "prune_steps": 4, "prune_start": 4, "prune_stop": 8,
+            "add_steps": 6, "add_start": 6, "add_stop": 8, "add_num": 5,
+            "losses": {"mse": 1.0, "lpips": 0.0, "lpips_alex": 0.0},
+        },
+        "eval": {"dataset": {"name": "testset", "path": scene_dir},
+                 "step": 8, "img_idx": 0, "max_height": 16, "max_width": 16,
+                 "save_fig": False},
+        "test": {"max_height": 16, "max_width": 16, "save_fig": True,
+                 "datasets": [{"name": "testset", "path": scene_dir}]},
+        "tpu": {"ray_chunk": 512},
+    }
+    from papr_tpu.config import merge_config
+    merge_config(cfg, extra)
+    path = tmp_path / "smoke.yml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return str(path)
+
+
+def _run(args, cwd=REPO):
+    env = dict(os.environ, PAPR_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    r = subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                       capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, f"{args}\nSTDOUT:{r.stdout[-3000:]}\nSTDERR:{r.stderr[-3000:]}"
+    return r.stdout
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    from papr_tpu.dataset.synth import make_demo_scene
+    return make_demo_scene(str(tmp_path_factory.mktemp("scene") / "s"),
+                           n_train=3, n_test=1, H=24, W=24)
+
+
+@pytest.fixture(scope="module")
+def trained(scene, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("run")
+    cfg_path = _write_cfg(tmp, scene)
+    out = _run(["train.py", "--opt", cfg_path])
+    assert "Training finished!" in out
+    assert "Pruned" in out and "Added" in out
+    ckpt = tmp / "experiments" / "smoke" / "checkpoint.npz"
+    assert ckpt.exists()
+    return tmp, cfg_path
+
+
+def test_train_and_resume(trained):
+    tmp, cfg_path = trained
+    out = _run(["train.py", "--opt", cfg_path, "--resume", "1"])
+    assert "Resume from step 8" in out
+
+
+def test_test_cli(trained):
+    tmp, cfg_path = trained
+    out = _run(["test.py", "--opt", cfg_path])
+    assert "Avg test loss" in out
+    img_dir = tmp / "experiments" / "smoke" / "test" / "images"
+    names = os.listdir(img_dir)
+    assert any("predrgb" in n for n in names)
+    assert any("depth" in n for n in names)
+    assert any("bkgmask" in n for n in names)
+
+
+def test_exposure_finetune_cli(trained, tmp_path):
+    tmp, _ = trained
+    pretrained = str(tmp / "experiments" / "smoke")
+    from papr_tpu.dataset.synth import make_demo_scene
+    scene = make_demo_scene(str(tmp_path / "scene2"), n_train=2, n_test=1,
+                            H=24, W=24)
+    cfg_path = _write_cfg(
+        tmp_path, scene,
+        **{"index": "smoke_exp",
+           "save_dir": str(tmp_path / "experiments"),
+           "load_path": pretrained,
+           "exposure_control": {
+               "use": True, "shading_code_dim": 8,
+               "shading_code_num_samples": 3,
+               "shading_code_resample_iter": 4,
+               "shading_code_resample_size": 16,
+               "mapping_mlp": {"num_layers": 2, "dim": 16, "out_dim": 32},
+           },
+           "training": {"steps": 5,
+                        "prune_steps": 0, "add_steps": 0}})
+    out = _run(["exposure_control_finetune.py", "--opt", cfg_path])
+    assert "Resampling shading codes" in out
+    assert "Training finished!" in out
+
+
+def test_bench_cpu_emits_json(tmp_path):
+    env = dict(os.environ, PAPR_PLATFORM="cpu", PAPR_BENCH_SMALL="1",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    r = subprocess.run([sys.executable, "bench.py"], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert data["metric"] == "train_rays_per_sec_per_chip"
+    assert data["value"] > 0

@@ -5,6 +5,14 @@ Interface-compatible with the reference train.py (same flags, config files,
 and output layout under <save_dir>/<index>).
 """
 
+
+# Platform override (the axon TPU plugin ignores JAX_PLATFORMS): set
+# PAPR_PLATFORM=cpu to force CPU execution, e.g. for CI.
+import os as _os
+if _os.environ.get("PAPR_PLATFORM"):
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["PAPR_PLATFORM"])
+
 import argparse
 import os
 import shutil

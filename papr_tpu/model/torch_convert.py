@@ -117,6 +117,8 @@ def to_torch_state_dict(params: dict, state: dict, cfg) -> dict:
 
 def _set_linear(layer: dict, sd: dict, base: str):
     import jax.numpy as jnp
+    if (f"{base}.weight" not in sd and f"{base}.weight_v" not in sd):
+        return  # excluded or absent: keep the fresh init
     if f"{base}.weight_v" in sd:
         layer["v"] = jnp.asarray(_np(sd[f"{base}.weight_v"]))
         layer["g"] = jnp.asarray(_np(sd[f"{base}.weight_g"]))
@@ -133,7 +135,7 @@ def _set_mlp(mlp_params: dict, sd: dict, prefix: str):
 
 def _set_ff(ff_params: dict, sd: dict, prefix: str):
     import jax.numpy as jnp
-    if "innorm" in ff_params:
+    if "innorm" in ff_params and f"{prefix}.innorm.a_2" in sd:
         ff_params["innorm"]["a"] = jnp.asarray(_np(sd[f"{prefix}.innorm.a_2"]))
         ff_params["innorm"]["b"] = jnp.asarray(_np(sd[f"{prefix}.innorm.b_2"]))
         ff_params["outnorm"]["a"] = jnp.asarray(_np(sd[f"{prefix}.outnorm.a_2"]))
@@ -143,6 +145,8 @@ def _set_ff(ff_params: dict, sd: dict, prefix: str):
 
 def _set_conv(conv_params: dict, sd: dict, prefix: str, transpose: bool = False):
     import jax.numpy as jnp
+    if f"{prefix}.weight" not in sd:
+        return  # excluded or absent: keep the fresh init
     w = _np(sd[f"{prefix}.weight"])
     if transpose:  # ConvTranspose2d (in,out,kh,kw) -> (kh,kw,in,out)
         conv_params["w"] = jnp.asarray(w.transpose(2, 3, 0, 1))
@@ -151,18 +155,26 @@ def _set_conv(conv_params: dict, sd: dict, prefix: str, transpose: bool = False)
     conv_params["b"] = jnp.asarray(_np(sd[f"{prefix}.bias"]))
 
 
-def from_torch_state_dict(params: dict, state: dict, cfg, sd: dict):
+def from_torch_state_dict(params: dict, state: dict, cfg, sd: dict,
+                          exclude_keys=()):
     """Load a reference state_dict (numpy-valued) into a fresh pytree.
 
     Shape-polymorphic arrays (points / scores / pc_feats; reference
     models/model.py:617-641) are padded to the static size and the alive mask
-    is rebuilt from the loaded live count. Returns (params, state).
+    is rebuilt from the loaded live count. ``exclude_keys`` substrings skip
+    matching entries (reference load_my_state_dict / training.exclude_keys).
+    Returns (params, state, extras).
     """
     import jax.numpy as jnp
 
     meta = model_meta(cfg)
-    sd = {k: _np(v) for k, v in sd.items()}
+    exclude_keys = tuple(exclude_keys) or tuple(
+        cfg.get_path("training.exclude_keys", []) or [])
+    sd = {k: _np(v) for k, v in sd.items()
+          if not any(e in k for e in exclude_keys)}
     P = meta.pad_num_pts
+    if "points" not in sd:
+        raise KeyError("state_dict has no 'points' (did exclude_keys drop it?)")
     n_live = sd["points"].shape[0]
     assert n_live <= P, (n_live, P)
 

@@ -240,7 +240,12 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
         idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (N, H * W, P))
         k = P
     else:
-        impl = cfg.get_path("tpu.topk_impl", "xla")
+        impl = cfg.get_path("tpu.topk_impl", "auto")
+        if impl == "auto":
+            # pallas fused kernel on real TPUs; exact XLA top-k elsewhere
+            # (interpret-mode pallas on CPU is only for tests).
+            impl = "pallas" if jax.default_backend() == "tpu" and \
+                params["points"].shape[0] <= (1 << 15) else "xla"
         if impl == "pallas":
             from ..ops.pallas_topk import pallas_select_topk
             interp = jax.default_backend() != "tpu"

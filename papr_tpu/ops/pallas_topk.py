@@ -65,33 +65,48 @@ def _topk_kernel(rays_ref, f_ref, vT_ref, v2_ref, out_ref, best_scr,
         work_scr[:] = (pltpu.bitcast(dist, jnp.int32) &
                        jnp.int32(VAL_MASK)) | (col0 + base)
 
-        # Chunk-local top-k: k rounds of (min, write slot j, mask winner),
-        # mutating the scratch in place (loop-carried big values would copy).
-        tmp_scr[:] = jnp.full((TR, KPAD), MAXI, jnp.int32)
+        # Per-ray admission threshold: the current kth-best. Any candidate
+        # >= tau cannot enter the final top-k, so extraction rounds stop as
+        # soon as every ray's chunk-minimum clears it (after the first chunk
+        # most chunks terminate in a handful of rounds).
+        tau = best_scr[:, k - 1:k]                              # (TR, 1)
+        any_useful = jnp.any(jnp.min(work_scr[:], axis=1, keepdims=True) < tau)
 
-        def round_body(j, _):
-            w = work_scr[:]
-            m = jnp.min(w, axis=1, keepdims=True)               # (TR, 1)
-            tmp_scr[:] = jnp.where(lane128 == j, m, tmp_scr[:])
-            work_scr[:] = jnp.where(w == m, MAXI, w)
-            return 0
+        @pl.when(any_useful)
+        def _process_chunk():
+            # Chunk-local top-k: rounds of (min, write slot j, mask winner),
+            # mutating scratch in place (loop-carried big values would copy).
+            tmp_scr[:] = jnp.full((TR, KPAD), MAXI, jnp.int32)
 
-        jax.lax.fori_loop(0, k, round_body, 0)
+            def cond(st):
+                j, done = st
+                return jnp.logical_and(j < k, jnp.logical_not(done))
 
-        # Merge with the running best over a width-2*KPAD candidate row
-        # (small: value-carried is fine here).
-        cat0 = jnp.concatenate([best_scr[:], tmp_scr[:]], axis=1)  # (TR, 256)
+            def body(st):
+                j, _ = st
+                w = work_scr[:]
+                m = jnp.min(w, axis=1, keepdims=True)           # (TR, 1)
+                tmp_scr[:] = jnp.where(lane128 == j, m, tmp_scr[:])
+                work_scr[:] = jnp.where(w == m, MAXI, w)
+                done = jnp.logical_not(jnp.any(m < tau))
+                return j + 1, done
 
-        def merge_body(j, carry):
-            cat, nb = carry
-            m = jnp.min(cat, axis=1, keepdims=True)
-            nb = jnp.where(lane128 == j, m, nb)
-            cat = jnp.where(cat == m, MAXI, cat)
-            return cat, nb
+            jax.lax.while_loop(cond, body, (0, False))
 
-        nb0 = jnp.full((TR, KPAD), MAXI, jnp.int32)
-        _, newbest = jax.lax.fori_loop(0, k, merge_body, (cat0, nb0))
-        best_scr[:] = newbest
+            # Merge with the running best over a width-2*KPAD candidate row
+            # (small: value-carried is fine here).
+            cat0 = jnp.concatenate([best_scr[:], tmp_scr[:]], axis=1)
+
+            def merge_body(j, carry):
+                cat, nb = carry
+                m = jnp.min(cat, axis=1, keepdims=True)
+                nb = jnp.where(lane128 == j, m, nb)
+                cat = jnp.where(cat == m, MAXI, cat)
+                return cat, nb
+
+            nb0 = jnp.full((TR, KPAD), MAXI, jnp.int32)
+            _, newbest = jax.lax.fori_loop(0, k, merge_body, (cat0, nb0))
+            best_scr[:] = newbest
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)

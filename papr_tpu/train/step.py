@@ -74,18 +74,37 @@ def make_opt_state(cfg, params):
 
 # ---------------------------------------------------------------- rendering --
 
-def _tile_eval_fn(cfg, policy):
-    @jax.jit
-    def tile_fn(params, state, rayo, rayd):
-        fused, attn, selected = evaluate(params, state, cfg, rayo, rayd,
-                                         policy=policy, with_selected=True)
-        return fused, attn, selected
-    return tile_fn
+def _tiled_eval_fn(cfg, policy, _cache={}):
+    """One jitted dispatch for the whole tiled attention pass: rays arrive as
+    (N, ty, tx, th, tw, 3) tiles; lax.map sequences tiles device-side so peak
+    memory stays one tile while avoiding a host round-trip per tile (the
+    reference's python tile loop, train.py:59-67)."""
+    key = id(cfg)
+    if key not in _cache:
+        @jax.jit
+        def fn(params, state, rayo, rayd_tiles):
+            N, ty, tx, th, tw, _ = rayd_tiles.shape
+            flat = rayd_tiles.reshape(N, ty * tx, th, tw, 3)
+
+            def per_image(args):
+                o, tiles = args
+
+                def one_tile(rd):
+                    fused, attn, sel = evaluate(
+                        params, state, cfg, o[None], rd[None],
+                        policy=policy, with_selected=True)
+                    return fused[0], attn[0], sel[0]
+
+                return jax.lax.map(one_tile, tiles)
+
+            return jax.lax.map(per_image, (rayo, flat))
+        _cache[key] = fn
+    return _cache[key]
 
 
 def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,
                       tile_w: int, policy=None, with_depth: bool = False,
-                      gamma=None, beta=None, _cache={}):
+                      gamma=None, beta=None):
     """Tiled attention pass + one full-image UNet pass (reference
     train.py:29-87 / test.py:45-104). Returns dict of numpy arrays."""
     policy = policy or policy_from_config(cfg)
@@ -93,30 +112,26 @@ def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,
     N, H, W, _ = rayd.shape
     k = min(meta.select_k, meta.pad_num_pts)
 
-    cache_key = (id(cfg), tile_h, tile_w)
-    if cache_key not in _cache:
-        _cache[cache_key] = _tile_eval_fn(cfg, policy)
-    tile_fn = _cache[cache_key]
-
     ph = -(-H // tile_h) * tile_h - H
     pw = -(-W // tile_w) * tile_w - W
     rayd_p = np.pad(np.asarray(rayd), ((0, 0), (0, ph), (0, pw), (0, 0)))
     Hp, Wp = H + ph, W + pw
+    ty, tx = Hp // tile_h, Wp // tile_w
+    tiles = rayd_p.reshape(N, ty, tile_h, tx, tile_w, 3).transpose(
+        0, 1, 3, 2, 4, 5)                       # (N, ty, tx, th, tw, 3)
 
-    fused = np.zeros((N, Hp, Wp, 1, meta.feat_dim), np.float32)
-    attn = np.zeros((N, Hp, Wp, k + 1, 1), np.float32)
-    selected = np.zeros((N, Hp, Wp, k, 3), np.float32)
-    rayo_j = jnp.asarray(rayo)
-    for y0 in range(0, Hp, tile_h):
-        for x0 in range(0, Wp, tile_w):
-            f, a, s = tile_fn(params, state, rayo_j,
-                              jnp.asarray(rayd_p[:, y0:y0 + tile_h,
-                                                 x0:x0 + tile_w]))
-            fused[:, y0:y0 + tile_h, x0:x0 + tile_w] = np.asarray(f)
-            attn[:, y0:y0 + tile_h, x0:x0 + tile_w] = np.asarray(a)
-            selected[:, y0:y0 + tile_h, x0:x0 + tile_w] = np.asarray(s)
-    fused, attn, selected = (fused[:, :H, :W], attn[:, :H, :W],
-                             selected[:, :H, :W])
+    fn = _tiled_eval_fn(cfg, policy)
+    f, a, s = fn(params, state, jnp.asarray(rayo), jnp.asarray(tiles))
+    # (N, ty*tx, th, tw, ...) -> (N, Hp, Wp, ...)
+    def untile(x):
+        x = np.asarray(x)
+        x = x.reshape(N, ty, tx, tile_h, tile_w, *x.shape[4:])
+        x = x.transpose(0, 1, 3, 2, 4, *range(5, x.ndim))
+        return x.reshape(N, Hp, Wp, *x.shape[5:])
+
+    fused = untile(f)[:, :H, :W]
+    attn = untile(a)[:, :H, :W]
+    selected = untile(s)[:, :H, :W]
 
     if meta.use_renderer:
         fg = np.asarray(_render_fg_jit(cfg)(params, jnp.asarray(fused[..., 0, :]),

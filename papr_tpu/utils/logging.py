@@ -28,6 +28,7 @@ class Logger:
     def write(self, message: str):
         self.terminal.write(message)
         self.log.write(message)
+        self.log.flush()
 
     def flush(self):
         self.terminal.flush()

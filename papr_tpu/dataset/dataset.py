@@ -51,6 +51,7 @@ class RINDataset:
         self.image_paths = paths
         self.images = images if args.read_offline else images[:1]
         self._rng = np.random.default_rng()
+        self._img_cache: dict = {}
 
         if args.read_offline:
             self.rayo, self.rayd = get_rays_np(self.H, self.W, fx, fy, c2w)
@@ -63,12 +64,26 @@ class RINDataset:
     # ------------------------------------------------------------- access --
 
     def _read_image(self, idx: int):
-        """Lazy decode + per-image rays (reference dataset/dataset.py:50-67)."""
+        """Lazy decode + per-image rays (reference dataset/dataset.py:50-67).
+
+        Decoded images and ray grids are LRU-cached (`dataset.cache_images`
+        entries, default 256) — the reference re-decodes the PNG every
+        access, which starves fast devices.
+        """
+        cached = self._img_cache.get(idx)
+        if cached is not None:
+            self._img_cache[idx] = self._img_cache.pop(idx)  # refresh LRU
+            return cached
         img = Image.open(self.image_paths[idx]).resize((self.W, self.H))
         img = (np.asarray(img) / 255.0).astype(np.float32)
         img = composite_background(img[None], self.args.white_bg)[0]
         rayo, rayd = get_rays_np(self.H, self.W, self.focal_x, self.focal_y,
                                  self.c2w[idx:idx + 1])
+        limit = int(self.args.get("cache_images", 256) or 0)
+        if limit > 0:
+            if len(self._img_cache) >= limit:
+                self._img_cache.pop(next(iter(self._img_cache)))
+            self._img_cache[idx] = (img, rayo, rayd)
         return img, rayo, rayd
 
     def __len__(self) -> int:

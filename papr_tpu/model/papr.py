@@ -242,13 +242,20 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
     else:
         impl = cfg.get_path("tpu.topk_impl", "auto")
         if impl == "auto":
-            # pallas fused kernel on real TPUs; exact XLA top-k elsewhere
+            # tile-culled pallas kernel on real TPUs; exact XLA elsewhere
             # (interpret-mode pallas on CPU is only for tests).
-            impl = "pallas" if jax.default_backend() == "tpu" and \
+            impl = "cull" if jax.default_backend() == "tpu" and \
                 params["points"].shape[0] <= (1 << 15) else "xla"
-        if impl == "pallas":
+        interp = jax.default_backend() != "tpu"
+        if impl == "cull":
+            from ..ops.tile_cull import select_topk_culled
+            M = int(cfg.get_path("tpu.cull_candidates", 2048))
+            blk = int(cfg.get_path("tpu.cull_block", 16))
+            sel = lambda o, d: select_topk_culled(
+                points, alive, o, d.reshape(H, W, 3), k, M=M, block=blk,
+                eps=eps, interpret=interp)
+        elif impl == "pallas":
             from ..ops.pallas_topk import pallas_select_topk
-            interp = jax.default_backend() != "tpu"
             sel = lambda o, d: pallas_select_topk(points, alive, o, d, k, eps,
                                                   interpret=interp)
         else:

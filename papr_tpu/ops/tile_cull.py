@@ -1,0 +1,224 @@
+"""Tile cone culling: hierarchical top-k selection exploiting ray coherence.
+
+Rays in a 16x16 pixel block span a cone of half-angle delta around the block's
+mean direction c. For a point p with v = p - o, alpha = angle(v, c):
+
+    dist(p, ray) = |v| * sin(angle(v, ray)),  angle in [alpha-delta, alpha+delta]
+
+so per tile every ray's point distance is bracketed by
+
+    LB = |v| * min(sin(alpha-delta), sin(alpha+delta))   (0 if alpha < delta)
+    UB = |v| * max(...)                                  (|v| if pi/2 inside)
+
+Soundness: for any ray r in the tile and any point p in r's exact top-k,
+dist_r(p) <= kth_r <= kappa := k-th smallest UB, and LB_p <= dist_r(p), hence
+LB_p <= kappa. Keeping every point with LB <= kappa therefore preserves all
+exact winners. The M-candidate cap (tpu.cull_candidates) truncates by
+smallest LB; overflow beyond M is the only approximation (plus the pack
+quantization shared with ops/pallas_topk.py).
+
+Pipeline:
+  1. (XLA) per tile: center ray, cos(delta); bounds via one (T,3)x(3,P)
+     matmul; kappa via lax.top_k over (T,P) — T is ~256x smaller than R;
+     candidates = M smallest LB per tile.
+  2. (XLA) gather candidate records (v, |v|^2) -> (T, M, 8).
+  3. (Pallas) per tile: exact distances to the tile's own rays over M
+     candidates, pack-min-extract top-k (same loop as pallas_topk, ~P/M
+     times less work).
+  4. (XLA) map tile-local winners back to global point indices.
+
+Replaces the same reference behavior (models/model.py:258-283); selection
+differences are confined to bound-cap overflow and near-tie quantization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_topk import IDX_MASK, KPAD, MAXI, VAL_MASK
+
+RAY_TILE = 256
+CAND_CHUNK = 2048
+
+
+def tile_rays(rays_d: jnp.ndarray, block: int = 16):
+    """(H, W, 3) -> (T, RAY_TILE, 3) pixel-block tiles + metadata.
+
+    H/W are padded to block multiples; block*block must equal RAY_TILE.
+    """
+    H, W, _ = rays_d.shape
+    assert block * block == RAY_TILE
+    ph = -(-H // block) * block - H
+    pw = -(-W // block) * block - W
+    padded = jnp.pad(rays_d, ((0, ph), (0, pw), (0, 0)),
+                     mode="edge")
+    Hp, Wp = H + ph, W + pw
+    by, bx = Hp // block, Wp // block
+    tiles = padded.reshape(by, block, bx, block, 3).transpose(0, 2, 1, 3, 4)
+    return tiles.reshape(by * bx, RAY_TILE, 3), (H, W, Hp, Wp, block, by, bx)
+
+
+def untile_indices(idx_tiles: jnp.ndarray, meta) -> jnp.ndarray:
+    """(T, RAY_TILE, k) -> (H*W, k) in original row-major ray order."""
+    H, W, Hp, Wp, block, by, bx = meta
+    k = idx_tiles.shape[-1]
+    x = idx_tiles.reshape(by, bx, block, block, k).transpose(0, 2, 1, 3, 4)
+    return x.reshape(Hp, Wp, k)[:H, :W].reshape(H * W, k)
+
+
+def _cull_kernel(rays_ref, f_ref, recs_ref, out_ref, best_scr, work_scr,
+                 tmp_scr, *, k: int, n_chunks: int):
+    """Per-tile exact top-k over the tile's candidate set.
+
+    rays_ref (TR,3), f_ref (TR,1), recs_ref (8, M): rows 0..2 = v^T,
+    row 3 = |v|^2 (+inf for dead/invalid). Output (TR, KPAD) local indices.
+    """
+    TR = rays_ref.shape[1]
+    best_scr[:] = jnp.full((TR, KPAD), MAXI, jnp.int32)
+    d0 = rays_ref[0, :, 0:1]
+    d1 = rays_ref[0, :, 1:2]
+    d2 = rays_ref[0, :, 2:3]
+    f = f_ref[0]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (TR, KPAD), 1)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (TR, CAND_CHUNK), 1)
+
+    def chunk_body(c, _):
+        base = c * CAND_CHUNK
+        v0 = recs_ref[0, 0:1, pl.ds(base, CAND_CHUNK)]
+        v1 = recs_ref[0, 1:2, pl.ds(base, CAND_CHUNK)]
+        v2r = recs_ref[0, 2:3, pl.ds(base, CAND_CHUNK)]
+        vv = recs_ref[0, 3:4, pl.ds(base, CAND_CHUNK)]
+        t = d0 * v0 + d1 * v1 + d2 * v2r
+        dist = jnp.maximum(vv - t * t * f, 0.0)
+        work_scr[:] = (pltpu.bitcast(dist, jnp.int32) &
+                       jnp.int32(VAL_MASK)) | (col0 + base)
+        tmp_scr[:] = jnp.full((TR, KPAD), MAXI, jnp.int32)
+
+        def round_body(j, _):
+            w = work_scr[:]
+            m = jnp.min(w, axis=1, keepdims=True)
+            tmp_scr[:] = jnp.where(lane128 == j, m, tmp_scr[:])
+            work_scr[:] = jnp.where(w == m, MAXI, w)
+            return 0
+
+        jax.lax.fori_loop(0, k, round_body, 0)
+        cat0 = jnp.concatenate([best_scr[:], tmp_scr[:]], axis=1)
+
+        def merge_body(j, carry):
+            cat, nb = carry
+            m = jnp.min(cat, axis=1, keepdims=True)
+            nb = jnp.where(lane128 == j, m, nb)
+            cat = jnp.where(cat == m, MAXI, cat)
+            return cat, nb
+
+        nb0 = jnp.full((TR, KPAD), MAXI, jnp.int32)
+        _, newbest = jax.lax.fori_loop(0, k, merge_body, (cat0, nb0))
+        best_scr[:] = newbest
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    out_ref[0] = best_scr[:] & jnp.int32(IDX_MASK)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "M", "block", "interpret"))
+def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
+                       rays_o: jnp.ndarray, rays_d_hw: jnp.ndarray, k: int,
+                       M: int = 2048, block: int = 16, eps: float = 1e-6,
+                       interpret: bool = False) -> jnp.ndarray:
+    """points (P,3), alive (P,), rays_o (3,), rays_d_hw (H,W,3) ->
+    (H*W, k) int32 global indices (row-major ray order)."""
+    assert M % CAND_CHUNK == 0 or M < CAND_CHUNK
+    Mp = max(-(-M // CAND_CHUNK) * CAND_CHUNK, CAND_CHUNK)
+    points = jax.lax.stop_gradient(points).astype(jnp.float32)
+    rays_o = jax.lax.stop_gradient(rays_o).astype(jnp.float32)
+    rays_d_hw = jax.lax.stop_gradient(rays_d_hw).astype(jnp.float32)
+
+    tiles, meta = tile_rays(rays_d_hw, block)           # (T, TR, 3)
+    T = tiles.shape[0]
+    unit = tiles / jnp.linalg.norm(tiles, axis=-1, keepdims=True)
+
+    # ---- stage 1: per-tile cone + bounds --------------------------------
+    c = jnp.sum(unit, axis=1)
+    c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)  # (T, 3)
+    cosd = jnp.min(jnp.einsum("trd,td->tr", unit, c), axis=1)  # (T,)
+    cosd = jnp.clip(cosd, -1.0, 1.0)
+    sind = jnp.sqrt(jnp.maximum(1.0 - cosd * cosd, 0.0))
+
+    v = points - rays_o                                  # (P, 3)
+    vnorm2 = jnp.sum(v * v, axis=-1)
+    vnorm = jnp.sqrt(vnorm2)                             # (P,)
+    t_c = c @ v.T                                        # (T, P) MXU matmul
+    cos_a = t_c / jnp.maximum(vnorm, eps)[None, :]
+    cos_a = jnp.clip(cos_a, -1.0, 1.0)
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+
+    sd, cd = sind[:, None], cosd[:, None]
+    sin_lo = sin_a * cd - cos_a * sd                     # sin(alpha - delta)
+    sin_hi = sin_a * cd + cos_a * sd                     # sin(alpha + delta)
+    cos_lo = cos_a * cd + sin_a * sd                     # cos(alpha - delta)
+    cos_hi = cos_a * cd - sin_a * sd                     # cos(alpha + delta)
+
+    crosses_zero = cos_a > cd                            # alpha < delta
+    crosses_pi = cos_a < -cd                             # alpha > pi - delta
+    lb_sin = jnp.where(crosses_zero | crosses_pi, 0.0,
+                       jnp.minimum(jnp.abs(sin_lo), jnp.abs(sin_hi)))
+    crosses_mid = (cos_lo >= 0) & (cos_hi <= 0)          # pi/2 in range
+    ub_sin = jnp.where(crosses_mid, 1.0, jnp.maximum(sin_lo, sin_hi))
+
+    LB = vnorm[None, :] * lb_sin
+    UB = vnorm[None, :] * ub_sin
+    dead = ~alive
+    LB = jnp.where(dead[None, :], jnp.inf, LB)
+    UB = jnp.where(dead[None, :], jnp.inf, UB)
+
+    kth_ub = -jax.lax.top_k(-UB, k)[0][:, -1:]           # (T, 1) kappa
+    admissible = LB <= kth_ub
+    cand_key = jnp.where(admissible, LB, jnp.inf)
+    _, cand_idx = jax.lax.top_k(-cand_key, Mp)           # (T, Mp) smallest LB
+    cand_valid = jnp.take_along_axis(admissible, cand_idx, axis=1)
+
+    # ---- stage 2: candidate records -------------------------------------
+    rec = jnp.concatenate([v.T, vnorm2[None, :] +
+                           jnp.where(alive, 0.0, jnp.inf)[None, :],
+                           jnp.zeros((4, points.shape[0]))], axis=0)  # (8, P)
+    recs = rec[:, cand_idx.reshape(-1)].reshape(8, T, Mp).transpose(1, 0, 2)
+    # invalidate slots beyond the admissible set
+    recs = recs.at[:, 3, :].set(
+        jnp.where(cand_valid, recs[:, 3, :], jnp.inf))
+
+    # per-ray scale factor f
+    flat = tiles.reshape(T * RAY_TILE, 3)
+    dd = jnp.sum(flat * flat, axis=-1, keepdims=True)
+    f = ((dd + 2 * eps) / (dd + eps) ** 2).reshape(T, RAY_TILE, 1)
+
+    kernel = functools.partial(_cull_kernel, k=k, n_chunks=Mp // CAND_CHUNK)
+    local = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, RAY_TILE, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Mp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, RAY_TILE, KPAD), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, RAY_TILE, KPAD), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((RAY_TILE, KPAD), jnp.int32),
+                        pltpu.VMEM((RAY_TILE, CAND_CHUNK), jnp.int32),
+                        pltpu.VMEM((RAY_TILE, KPAD), jnp.int32)],
+        interpret=interpret,
+    )(tiles.reshape(T, RAY_TILE, 3), f, recs)
+
+    local = jnp.minimum(local[..., :k], Mp - 1)          # (T, TR, k) local
+    global_idx = jax.vmap(lambda ci, lo: ci[lo])(cand_idx, local).astype(jnp.int32)
+    flat_idx = untile_indices(global_idx, meta)
+    return jnp.minimum(flat_idx, points.shape[0] - 1)

@@ -1,0 +1,64 @@
+"""Tile cone-culling selection vs the exact implementation, on realistic
+camera rays (coherence is the point)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from papr_tpu.ops.geometry import get_rays_np
+from papr_tpu.ops.tile_cull import select_topk_culled, tile_rays, untile_indices
+from papr_tpu.ops.topk import select_topk
+
+
+def _camera_scene(P=3000, H=32, W=32, seed=0, dead=None):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(P, 3)).astype(np.float32) * 0.5
+    alive = np.ones(P, bool)
+    if dead:
+        alive[dead[0]:dead[1]] = False
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0, 0, 2.5]
+    rayo, rayd = get_rays_np(H, W, 40.0, 40.0, c2w[None])
+    return pts, alive, rayo[0], rayd[0]
+
+
+def test_tile_untile_roundtrip():
+    rng = np.random.default_rng(1)
+    rays = rng.normal(size=(20, 24, 3)).astype(np.float32)
+    tiles, meta = tile_rays(jnp.asarray(rays), block=16)
+    # identity payload: encode flat ray id, tile it, untile it
+    ids = np.arange(20 * 24).reshape(20, 24, 1).astype(np.int32)
+    t, meta2 = tile_rays(jnp.asarray(ids.astype(np.float32)).repeat(3, -1), 16)
+    back = untile_indices(t[..., :1].astype(np.int32), meta2)
+    np.testing.assert_array_equal(np.asarray(back)[:, 0],
+                                  np.arange(20 * 24))
+
+
+def test_culled_matches_exact_selection():
+    pts, alive, rayo, rayd = _camera_scene(dead=(100, 200))
+    k = 8
+    got = np.asarray(select_topk_culled(
+        jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
+        jnp.asarray(rayd), k, M=1024, block=16, interpret=True))
+    want = np.asarray(select_topk(
+        jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
+        jnp.asarray(rayd).reshape(-1, 3), k, chunk=512))
+    assert got.shape == want.shape
+    assert not np.isin(got, np.arange(100, 200)).any()
+    overlap = np.mean([len(set(got[i]) & set(want[i])) / k
+                       for i in range(got.shape[0])])
+    assert overlap > 0.99, overlap
+
+
+def test_culled_nonaligned_image():
+    pts, alive, rayo, rayd = _camera_scene(P=2048, H=23, W=37, seed=2)
+    k = 6
+    got = np.asarray(select_topk_culled(
+        jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
+        jnp.asarray(rayd), k, M=512, block=16, interpret=True))
+    assert got.shape == (23 * 37, k)
+    want = np.asarray(select_topk(
+        jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
+        jnp.asarray(rayd).reshape(-1, 3), k, chunk=256))
+    overlap = np.mean([len(set(got[i]) & set(want[i])) / k
+                       for i in range(got.shape[0])])
+    assert overlap > 0.98, overlap

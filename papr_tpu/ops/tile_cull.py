@@ -180,8 +180,13 @@ def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
     kth_ub = -jax.lax.top_k(-UB, k)[0][:, -1:]           # (T, 1) kappa
     admissible = LB <= kth_ub
     cand_key = jnp.where(admissible, LB, jnp.inf)
-    _, cand_idx = jax.lax.top_k(-cand_key, Mp)           # (T, Mp) smallest LB
+    take = min(Mp, points.shape[0])
+    _, cand_idx = jax.lax.top_k(-cand_key, take)         # (T, take) smallest LB
     cand_valid = jnp.take_along_axis(admissible, cand_idx, axis=1)
+    if take < Mp:                                        # tiny clouds: pad
+        pad = Mp - take
+        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, pad)))
+        cand_valid = jnp.pad(cand_valid, ((0, 0), (0, pad)))
 
     # ---- stage 2: candidate records -------------------------------------
     rec = jnp.concatenate([v.T, vnorm2[None, :] +

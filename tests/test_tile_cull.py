@@ -62,3 +62,40 @@ def test_culled_nonaligned_image():
     overlap = np.mean([len(set(got[i]) & set(want[i])) / k
                        for i in range(got.shape[0])])
     assert overlap > 0.98, overlap
+
+
+def test_model_forward_consistent_across_impls():
+    """forward() with impl=cull vs impl=xla agree at the RGB level."""
+    import jax
+    from papr_tpu.config import load_config
+    from papr_tpu.model.papr import create_model, forward
+
+    def cfg_with(impl):
+        return load_config(overrides={
+            "use_amp": False, "max_num_pts": 512,
+            "dataset": {"coord_scale": 1.0},
+            "geoms": {"points": {"select_k": 6, "init_num": 500},
+                      "point_feats": {"dim": 8}},
+            "models": {"attn": {"d_model": 16, "embed": {
+                "k_L": [2, 2, 2], "q_L": [2], "v_L": [2, 2],
+                "key": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2},
+                "query": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2},
+                "value": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2}}}},
+            "tpu": {"topk_impl": impl, "ray_chunk": 512,
+                    "cull_candidates": 256, "cull_block": 16},
+        })
+
+    params, state = create_model(cfg_with("xla"), jax.random.PRNGKey(0))
+    pts, alive, rayo, rayd = _camera_scene(P=500, H=16, W=16, seed=3)
+    params = dict(params)
+    params["points"] = jnp.asarray(np.pad(pts, ((0, 12), (0, 0))))
+    state = dict(state)
+    state["alive"] = jnp.asarray(np.pad(alive, (0, 12)))
+
+    outs = {}
+    for impl in ("xla", "cull"):
+        outs[impl] = np.asarray(forward(params, state, cfg_with(impl),
+                                        rayo[None], rayd[None]))
+    # small pixel-level differences allowed where near-tie selections differ
+    close = np.isclose(outs["xla"], outs["cull"], rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.995, close.mean()

@@ -33,12 +33,41 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC_A100_EST = 102_400.0
 
 
+def bench_render():
+    """Secondary metric (PAPR_BENCH=render): 800x800 render FPS."""
+    import jax
+
+    from __graft_entry__ import _flagship_cfg
+    from papr_tpu.model.papr import create_model
+    from papr_tpu.ops.geometry import get_rays_np
+    from papr_tpu.train.step import render_full_image
+
+    cfg = _flagship_cfg(patch=160, points=30000, k=20)
+    params, state = create_model(cfg, jax.random.PRNGKey(0))
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0, 0, 35.0]
+    rayo, rayd = get_rays_np(800, 800, 700.0, 700.0, c2w[None])
+
+    render_full_image(params, state, cfg, rayo, rayd, 100, 100)  # compile
+    t0 = time.perf_counter()
+    n = 3
+    for i in range(n):
+        out = render_full_image(params, state, cfg, rayo, rayd, 100, 100)
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({"metric": "render_800x800_fps",
+                      "value": round(1.0 / dt, 3), "unit": "frames/s",
+                      "vs_baseline": round((1.0 / dt) / 0.25, 3)}))
+
+
 def main():
     import jax
 
     from __graft_entry__ import _flagship_cfg
     from papr_tpu.model.papr import create_model
     from papr_tpu.train.step import make_opt_state, make_train_step
+
+    if _os.environ.get("PAPR_BENCH") == "render":
+        return bench_render()
 
     small = bool(_os.environ.get("PAPR_BENCH_SMALL"))
     patch = 32 if small else 160

@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn.activations import build_activation
 from ..nn.mlp import F32, Policy, mlp_init, mlp_apply
 from ..nn.unet import small_unet_apply, small_unet_init
 from ..ops.geometry import point_ray_geometry

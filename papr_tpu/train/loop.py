@@ -22,7 +22,6 @@ from ..dataset import get_dataset, get_loader
 from ..model.papr import create_model
 from ..nn.activations import build_activation
 from ..utils import plots
-from ..utils.logging import snapshot_code
 from .checkpoint import (import_torch, load_checkpoint, load_histories,
                          restore_into, save_checkpoint)
 from .losses import get_loss, psnr

@@ -15,15 +15,14 @@ TPU-native redesign of the reference hot loop (train.py:155-179):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..model.papr import (composite_background, evaluate, forward,
-                          model_meta, render_foreground)
+from ..model.papr import (evaluate, forward, model_meta,
+                          render_foreground)
 from ..nn.activations import build_activation
 from ..nn.mlp import policy_from_config
 from .losses import get_loss

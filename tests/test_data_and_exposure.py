@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 import torch
 
-from papr_tpu.config import load_config, merge_config
+from papr_tpu.config import load_config
 from papr_tpu.model.papr import create_model, forward, mapping_apply
 from papr_tpu.model.torch_convert import to_torch_state_dict
 from papr_tpu.ops.geometry import get_rays_np

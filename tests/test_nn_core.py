@@ -10,7 +10,7 @@ import torch
 import torch.nn.functional as tF
 
 from papr_tpu.nn.activations import build_activation
-from papr_tpu.nn.mlp import F32, feedforward_apply, feedforward_init, mlp_apply, mlp_init
+from papr_tpu.nn.mlp import feedforward_apply, feedforward_init, mlp_apply, mlp_init
 from papr_tpu.nn.norm import layernorm_apply, layernorm_init
 from papr_tpu.nn.posenc import posenc
 from papr_tpu.nn import unet as U

@@ -15,7 +15,7 @@ import pytest
 import torch
 
 from papr_tpu.config import load_config
-from papr_tpu.model.papr import create_model, evaluate, forward, model_meta
+from papr_tpu.model.papr import create_model, evaluate, forward
 from papr_tpu.model.torch_convert import from_torch_state_dict, to_torch_state_dict
 
 from _reference import REFERENCE_PATH, import_reference_models

@@ -15,7 +15,7 @@ import yaml
 
 from papr_tpu.config import Config, load_config, merge_config
 from papr_tpu.ops.topk import pairwise_dist2, select_topk
-from papr_tpu.train.optim import ADAM_B1, ADAM_B2, ADAM_EPS, GroupSpec, apply_updates, init_opt_state
+from papr_tpu.train.optim import GroupSpec, apply_updates, init_opt_state
 from papr_tpu.train.schedules import make_schedule
 
 

@@ -76,7 +76,8 @@ def resample_shading_codes(shading_codes: np.ndarray, cfg, params, state,
         .astype(np.float32) * float(ec.shading_code_scale))
 
     out = render_full_image(params, state, cfg, rayo, rayd,
-                            int(cfg.eval.max_height), int(cfg.eval.max_width))
+                            int(cfg.eval.max_height), int(cfg.eval.max_width),
+                            with_extras=True)
     fused = jnp.asarray(out["fused"][..., 0, :])
     bkg_attn = jnp.asarray(out["attn"][..., -1:, :])
 

@@ -73,15 +73,20 @@ def make_opt_state(cfg, params):
 
 # ---------------------------------------------------------------- rendering --
 
-def _tiled_eval_fn(cfg, policy, _cache={}):
-    """One jitted dispatch for the whole tiled attention pass: rays arrive as
-    (N, ty, tx, th, tw, 3) tiles; lax.map sequences tiles device-side so peak
-    memory stays one tile while avoiding a host round-trip per tile (the
-    reference's python tile loop, train.py:59-67)."""
-    key = id(cfg)
+def _full_render_fn(cfg, policy, extras: bool, _cache={}):
+    """One jitted dispatch for the COMPLETE full-image render: tiled
+    attention pass (lax.map sequences tiles device-side, bounding memory like
+    the reference's python tile loop, train.py:59-67), untiling, the
+    full-image UNet, background compositing and last activation — nothing
+    round-trips to the host in between. With ``extras`` the fused features /
+    attention / selected points are also returned (exposure resampling,
+    depth, featattn plots); plain renders return just foreground+rgb."""
+    key = (id(cfg), extras)
     if key not in _cache:
+        meta = model_meta(cfg)
+
         @jax.jit
-        def fn(params, state, rayo, rayd_tiles):
+        def fn(params, state, rayo, rayd_tiles, gamma=None, beta=None):
             N, ty, tx, th, tw, _ = rayd_tiles.shape
             flat = rayd_tiles.reshape(N, ty * tx, th, tw, 3)
 
@@ -96,20 +101,47 @@ def _tiled_eval_fn(cfg, policy, _cache={}):
 
                 return jax.lax.map(one_tile, tiles)
 
-            return jax.lax.map(per_image, (rayo, flat))
+            f, a, s = jax.lax.map(per_image, (rayo, flat))
+
+            def untile(x):
+                x = x.reshape(N, ty, tx, th, tw, *x.shape[4:])
+                x = jnp.moveaxis(x, 2, 3)
+                return x.reshape(N, ty * th, tx * tw, *x.shape[5:])
+
+            fused = untile(f)          # (N, Hp, Wp, 1, C)
+            attn = untile(a)           # (N, Hp, Wp, k+1, 1)
+            if meta.use_renderer:
+                fg = render_foreground(params, cfg, fused[..., 0, :],
+                                       gamma, beta, policy)[..., None, :]
+            else:
+                fg = fused
+            bkg_attn = attn[..., -1:, :]
+            bkg = params["bkg_feats"][0]
+            if cfg.models.normalize_topk_attn:
+                rgb = fg * (1 - bkg_attn) + bkg * bkg_attn
+            else:
+                rgb = fg + bkg * bkg_attn
+            rgb = build_activation(cfg.models.last_act)(rgb[..., 0, :])
+            if extras:
+                return rgb, fg[..., 0, :], bkg_attn[..., 0, :], fused, attn, untile(s)
+            return rgb, fg[..., 0, :], bkg_attn[..., 0, :]
+
         _cache[key] = fn
     return _cache[key]
 
 
 def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,
                       tile_w: int, policy=None, with_depth: bool = False,
-                      gamma=None, beta=None):
+                      gamma=None, beta=None, with_extras: bool = None):
     """Tiled attention pass + one full-image UNet pass (reference
-    train.py:29-87 / test.py:45-104). Returns dict of numpy arrays."""
+    train.py:29-87 / test.py:45-104). Returns dict of numpy arrays.
+
+    By default only rgb/foreground/bkg_attn cross back to the host; pass
+    ``with_depth``/``with_extras`` for fused features, attention and
+    selected-point outputs (large transfers)."""
     policy = policy or policy_from_config(cfg)
-    meta = model_meta(cfg)
     N, H, W, _ = rayd.shape
-    k = min(meta.select_k, meta.pad_num_pts)
+    extras = bool(with_extras) or with_depth
 
     ph = -(-H // tile_h) * tile_h - H
     pw = -(-W // tile_w) * tile_w - W
@@ -119,50 +151,20 @@ def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,
     tiles = rayd_p.reshape(N, ty, tile_h, tx, tile_w, 3).transpose(
         0, 1, 3, 2, 4, 5)                       # (N, ty, tx, th, tw, 3)
 
-    fn = _tiled_eval_fn(cfg, policy)
-    f, a, s = fn(params, state, jnp.asarray(rayo), jnp.asarray(tiles))
-    # (N, ty*tx, th, tw, ...) -> (N, Hp, Wp, ...)
-    def untile(x):
-        x = np.asarray(x)
-        x = x.reshape(N, ty, tx, tile_h, tile_w, *x.shape[4:])
-        x = x.transpose(0, 1, 3, 2, 4, *range(5, x.ndim))
-        return x.reshape(N, Hp, Wp, *x.shape[5:])
-
-    fused = untile(f)[:, :H, :W]
-    attn = untile(a)[:, :H, :W]
-    selected = untile(s)[:, :H, :W]
-
-    if meta.use_renderer:
-        fg = np.asarray(_render_fg_jit(cfg)(params, jnp.asarray(fused[..., 0, :]),
-                                            gamma, beta))[..., None, :]
-    else:
-        fg = fused
-    bkg_attn = attn[..., k:, :]
-    bkg = np.asarray(params["bkg_feats"])[0]
-    if cfg.models.normalize_topk_attn:
-        rgb = fg * (1 - bkg_attn) + bkg * bkg_attn
-    else:
-        rgb = fg + bkg * bkg_attn
-    rgb = rgb[..., 0, :]
-    rgb = np.asarray(build_activation(cfg.models.last_act)(jnp.asarray(rgb)))
-
-    out = {"rgb": rgb, "fused": fused, "attn": attn, "selected": selected,
-           "foreground": fg[..., 0, :], "bkg_attn": bkg_attn[..., 0, :]}
+    fn = _full_render_fn(cfg, policy, extras)
+    res = fn(params, state, jnp.asarray(rayo), jnp.asarray(tiles),
+             gamma, beta)
+    crop = lambda x: np.asarray(x)[:, :H, :W]
+    out = {"rgb": crop(res[0]), "foreground": crop(res[1]),
+           "bkg_attn": crop(res[2])}
+    if extras:
+        out["fused"] = crop(res[3])
+        out["attn"] = crop(res[4])
+        out["selected"] = crop(res[5])
     if with_depth:
-        out["depth"] = attention_depth(np.asarray(rayo), selected, attn)
+        out["depth"] = attention_depth(np.asarray(rayo), out["selected"],
+                                       out["attn"])
     return out
-
-
-def _render_fg_jit(cfg, _cache={}):
-    key = id(cfg)
-    if key not in _cache:
-        policy = policy_from_config(cfg)
-
-        @jax.jit
-        def fg_fn(params, fused, gamma=None, beta=None):
-            return render_foreground(params, cfg, fused, gamma, beta, policy)
-        _cache[key] = fg_fn
-    return _cache[key]
 
 
 def attention_depth(rayo: np.ndarray, selected: np.ndarray,

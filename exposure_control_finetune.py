@@ -71,6 +71,7 @@ def run(cfg, eval_cfg, sample_cfg, resume):
     import jax
 
     from papr_tpu.dataset import get_dataset, get_loader
+    from papr_tpu.dataset.dataset import device_prefetch
     from papr_tpu.model.papr import create_model
     from papr_tpu.nn.activations import build_activation
     from papr_tpu.train.checkpoint import (import_torch, load_checkpoint,
@@ -147,7 +148,7 @@ def run(cfg, eval_cfg, sample_cfg, resume):
     start_time = time.time()
     print("Start step:", start_step, "Total steps:", tr.steps)
     while step < tr.steps:
-        for batch in trainloader:
+        for batch in device_prefetch(trainloader):
             if step % int(ec.shading_code_resample_iter) == 0:
                 print("Resampling shading codes")
                 for img_idx in range(len(sample_dataset)):

@@ -213,6 +213,40 @@ class Loader:
             yield item
 
 
+def device_prefetch(loader, depth: int = 2):
+    """Wrap a Batch iterator so host->device transfers overlap compute.
+
+    jax.device_put is async; holding ``depth`` in-flight device batches keeps
+    the transfer off the step's critical path (the torch reference blocks on
+    `.to(device)` per tensor, train.py:163-166).
+    """
+    import collections
+
+    import jax
+
+    def to_device(b: Batch) -> Batch:
+        return Batch(img_idx=b.img_idx, patch_idx=b.patch_idx,
+                     image=jax.device_put(b.image),
+                     rayd=jax.device_put(b.rayd),
+                     rayo=jax.device_put(b.rayo),
+                     c2w=jax.device_put(b.c2w))
+
+    queue = collections.deque()
+    it = iter(loader)
+    try:
+        for _ in range(depth):
+            queue.append(to_device(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(to_device(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def get_dataset(dataset_args, mode: str = "train") -> RINDataset:
     return RINDataset(dataset_args, mode=mode)
 

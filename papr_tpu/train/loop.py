@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 from ..dataset import get_dataset, get_loader
+from ..dataset.dataset import device_prefetch
 from ..model.papr import create_model
 from ..nn.activations import build_activation
 from ..utils import plots
@@ -78,7 +79,8 @@ def eval_step(step, params, state, cfg, dataset, eval_dataset, batch,
             int(batch.img_idx[0]))
 
         main = plots.training_main_plot(
-            cfg.index, histories["steps"], train_img[0], batch.image[0],
+            cfg.index, histories["steps"], train_img[0],
+            np.asarray(batch.image[0]),
             np.clip(train_pred[0], 0, 1), img[0], rgb[0],
             histories["train_losses"], histories["eval_losses"], points_np,
             pt_plot_scale, out["depth"][0], histories["pt_lrs"],
@@ -153,7 +155,7 @@ def train_and_eval(cfg, eval_cfg, resume: int = 0):
 
     print("Start step:", start_step, "Total steps:", tr.steps)
     while step < tr.steps:
-        for batch in trainloader:
+        for batch in device_prefetch(trainloader):
             if profile_start >= 0 and step == profile_start:
                 jax.profiler.start_trace(os.path.join(log_dir, "profile"))
             if profile_start >= 0 and step == profile_start + profile_len:

@@ -179,8 +179,10 @@ def run(cfg, eval_cfg, sample_cfg, resume):
                 histories["attn_lrs"].append(lrs.get("attn", 0.0))
                 histories["steps"].append(step)
                 pred_np = np.asarray(last_act(pred))
+                eval_code = codes["eval_shading_codes"][int(cfg.eval.img_idx)]
                 eval_step(step, params, state, cfg, dataset, eval_dataset,
-                          batch, loss_fn, pred_np, histories, log_dir)
+                          batch, loss_fn, pred_np, histories, log_dir,
+                          eval_shading_code=eval_code)
                 save_checkpoint(log_dir, step, params, opt_state, state,
                                 extras=codes, histories=histories,
                                 keep_snapshot=(step % 50000 == 0))

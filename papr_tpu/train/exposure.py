@@ -77,7 +77,7 @@ def resample_shading_codes(shading_codes: np.ndarray, cfg, params, state,
 
     out = render_full_image(params, state, cfg, rayo, rayd,
                             int(cfg.eval.max_height), int(cfg.eval.max_width),
-                            with_extras=True)
+                            attention_only=True)
     fused = jnp.asarray(out["fused"][..., 0, :])
     bkg_attn = jnp.asarray(out["attn"][..., -1:, :])
 

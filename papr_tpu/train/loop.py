@@ -44,15 +44,21 @@ def build_loss(cfg, policy=None):
 
 
 def eval_step(step, params, state, cfg, dataset, eval_dataset, batch,
-              loss_fn, train_pred, histories, log_dir):
+              loss_fn, train_pred, histories, log_dir, eval_shading_code=None):
     """Render the eval view, log metrics, save plots + checkpoint.
 
-    Reference: train.py:29-152.
+    Reference: train.py:29-152. ``eval_shading_code`` drives the FiLM path
+    during exposure finetuning (the reference's eval renders unmodulated,
+    which crashes for affine_layer >= 0 — here the eval image's code is used).
     """
+    gamma = beta = None
+    if eval_shading_code is not None:
+        from ..model.papr import mapping_apply
+        gamma, beta = mapping_apply(params, cfg, eval_shading_code)
     img, rayd, rayo = eval_dataset.get_full_img(int(cfg.eval.img_idx))
     out = render_full_image(params, state, cfg, rayo, rayd,
                             int(cfg.eval.max_height), int(cfg.eval.max_width),
-                            with_depth=True)
+                            with_depth=True, gamma=gamma, beta=beta)
     rgb = np.clip(out["rgb"], 0, 1)
     eval_loss = float(loss_fn(rgb, img))
     eval_psnr = float(psnr(rgb, img))

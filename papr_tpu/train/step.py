@@ -73,7 +73,8 @@ def make_opt_state(cfg, params):
 
 # ---------------------------------------------------------------- rendering --
 
-def _full_render_fn(cfg, policy, extras: bool, _cache={}):
+def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
+                    _cache={}):
     """One jitted dispatch for the COMPLETE full-image render: tiled
     attention pass (lax.map sequences tiles device-side, bounding memory like
     the reference's python tile loop, train.py:59-67), untiling, the
@@ -81,7 +82,7 @@ def _full_render_fn(cfg, policy, extras: bool, _cache={}):
     round-trips to the host in between. With ``extras`` the fused features /
     attention / selected points are also returned (exposure resampling,
     depth, featattn plots); plain renders return just foreground+rgb."""
-    key = (id(cfg), extras)
+    key = (id(cfg), extras, run_unet)
     if key not in _cache:
         meta = model_meta(cfg)
 
@@ -110,6 +111,8 @@ def _full_render_fn(cfg, policy, extras: bool, _cache={}):
 
             fused = untile(f)          # (N, Hp, Wp, 1, C)
             attn = untile(a)           # (N, Hp, Wp, k+1, 1)
+            if not run_unet:           # attention-only (cIMLE resampling)
+                return fused, attn, untile(s)
             if meta.use_renderer:
                 fg = render_foreground(params, cfg, fused[..., 0, :],
                                        gamma, beta, policy)[..., None, :]
@@ -132,7 +135,8 @@ def _full_render_fn(cfg, policy, extras: bool, _cache={}):
 
 def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,
                       tile_w: int, policy=None, with_depth: bool = False,
-                      gamma=None, beta=None, with_extras: bool = None):
+                      gamma=None, beta=None, with_extras: bool = None,
+                      attention_only: bool = False):
     """Tiled attention pass + one full-image UNet pass (reference
     train.py:29-87 / test.py:45-104). Returns dict of numpy arrays.
 
@@ -151,10 +155,18 @@ def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,
     tiles = rayd_p.reshape(N, ty, tile_h, tx, tile_w, 3).transpose(
         0, 1, 3, 2, 4, 5)                       # (N, ty, tx, th, tw, 3)
 
+    crop = lambda x: np.asarray(x)[:, :H, :W]
+    if attention_only:
+        fn = _full_render_fn(cfg, policy, True, run_unet=False)
+        f, a, sel = fn(params, state, jnp.asarray(rayo), jnp.asarray(tiles))
+        out = {"fused": crop(f), "attn": crop(a), "selected": crop(sel)}
+        if with_depth:
+            out["depth"] = attention_depth(np.asarray(rayo),
+                                           out["selected"], out["attn"])
+        return out
     fn = _full_render_fn(cfg, policy, extras)
     res = fn(params, state, jnp.asarray(rayo), jnp.asarray(tiles),
              gamma, beta)
-    crop = lambda x: np.asarray(x)[:, :H, :W]
     out = {"rgb": crop(res[0]), "foreground": crop(res[1]),
            "bkg_attn": crop(res[2])}
     if extras:

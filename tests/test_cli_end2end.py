@@ -130,3 +130,37 @@ def test_bench_cpu_emits_json(tmp_path):
     data = json.loads(line)
     assert data["metric"] == "train_rays_per_sec_per_chip"
     assert data["value"] > 0
+
+
+def test_exposure_test_modes_cli(trained, tmp_path):
+    """test.py --exp --random on an exposure-finetuned checkpoint."""
+    tmp, _ = trained
+    pretrained = str(tmp / "experiments" / "smoke")
+    from papr_tpu.dataset.synth import make_demo_scene
+    scene = make_demo_scene(str(tmp_path / "scene3"), n_train=2, n_test=1,
+                            H=24, W=24)
+    cfg_path = _write_cfg(
+        tmp_path, scene,
+        **{"index": "smoke_exp2",
+           "save_dir": str(tmp_path / "experiments"),
+           "load_path": pretrained,
+           "exposure_control": {
+               "use": True, "shading_code_dim": 8,
+               "shading_code_num_samples": 2,
+               "shading_code_resample_iter": 10,
+               "shading_code_resample_size": 16,
+               "mapping_mlp": {"num_layers": 2, "dim": 16, "out_dim": 32},
+           },
+           "models": {"renderer": {"generator": {"small_unet":
+                                                 {"affine_layer": 0}}}},
+           "training": {"steps": 3, "prune_steps": 0, "add_steps": 0}})
+    _run(["exposure_control_finetune.py", "--opt", cfg_path])
+    out = _run(["test.py", "--opt", cfg_path, "--exp", "--random",
+                "--view", "0", "--num_samples", "2", "--scale", "2.0"])
+    assert "Avg test loss" in out
+    exp_dir = (tmp_path / "experiments" / "smoke_exp2" / "test")
+    dirs = os.listdir(exp_dir)
+    assert any("exposure_control_random" in d for d in dirs), dirs
+    out2 = _run(["test.py", "--opt", cfg_path, "--exp", "--intrp",
+                 "--view", "0", "--num_samples", "2", "--num_intrp", "2"])
+    assert "Avg test loss" in out2

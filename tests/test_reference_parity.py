@@ -138,3 +138,22 @@ def test_torch_roundtrip_identity():
         if key.startswith(("['points'", "['pc_feats'")):
             got, want = got[:n_alive], want[:n_alive]
         np.testing.assert_allclose(got, want, atol=1e-7, err_msg=key)
+
+
+def test_forward_matches_reference_batched():
+    """N=2 image batch with distinct cameras (reference batches over
+    img_idx, train.py:155-166)."""
+    cfg = tiny_cfg()
+    params, state, ref = build_pair(cfg, seed=3)
+    rng = np.random.default_rng(9)
+    rayo = rng.normal(size=(2, 3)).astype(np.float32) * 2.5
+    rayd = rng.normal(size=(2, 6, 6, 3)).astype(np.float32)
+    rayd /= np.linalg.norm(rayd, axis=-1, keepdims=True)
+    c2w = np.stack([np.eye(4, dtype=np.float32)] * 2)
+
+    ours = np.asarray(forward(params, state, cfg, rayo, rayd, c2w))
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(rayo), torch.from_numpy(rayd),
+                     torch.from_numpy(c2w), step=-1).numpy()
+    assert ours.shape == theirs.shape == (2, 6, 6, 3)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)

@@ -15,8 +15,6 @@ TPU-native redesign of the reference hot loop (train.py:155-179):
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,11 +25,6 @@ from ..nn.activations import build_activation
 from ..nn.mlp import policy_from_config
 from .losses import get_loss
 from .optim import apply_updates, build_group_specs, init_opt_state
-
-
-class TrainStepOut(NamedTuple):
-    loss: jnp.ndarray
-    pred: jnp.ndarray
 
 
 def make_train_step(cfg, loss_fn=None, sharding=None, donate: bool = True):

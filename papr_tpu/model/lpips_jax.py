@@ -119,3 +119,67 @@ def _unit_normalize(feat: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
     """Reference models/lpips.py:64-67 (norm inside sqrt AND denominator)."""
     norm = jnp.sqrt(jnp.sum(feat ** 2, axis=-1, keepdims=True) + eps)
     return feat / (norm + eps)
+
+
+# ---------------------------------------------------------- LPIPS-AlexNet --
+
+DEFAULT_ALEX_WEIGHTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets", "lpips_alex.npz")
+
+
+def load_lpips_alex_params(path: str | None = None) -> dict:
+    """AlexNet LPIPS weights (tools/convert_alexnet.py); metric-only
+    (reference test.py:188 uses the pip lpips package)."""
+    path = path or os.environ.get("PAPR_LPIPS_ALEX_WEIGHTS",
+                                  DEFAULT_ALEX_WEIGHTS)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"LPIPS AlexNet weights not found at {path}; convert once with "
+            "tools/convert_alexnet.py.")
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    convs = [{"w": jnp.asarray(flat[f"conv{i}.w"]),
+              "b": jnp.asarray(flat[f"conv{i}.b"]),
+              "stride": tuple(int(s) for s in flat[f"conv{i}.stride"]),
+              "padding": tuple(int(p) for p in flat[f"conv{i}.padding"])}
+             for i in range(5)]
+    lins = [jnp.asarray(flat[f"lin{i}.w"]) for i in range(5)]
+    return {"convs": convs, "lins": lins}
+
+
+def _maxpool3s2(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+
+
+def lpips_alex_apply(params: dict, pred: jnp.ndarray,
+                     target: jnp.ndarray) -> jnp.ndarray:
+    """Metric-only LPIPS with the AlexNet backbone (forward pass only)."""
+
+    def prep(img):
+        img = 2.0 * img - 1.0
+        return ((img - SHIFT) / SCALE).astype(jnp.float32)
+
+    def slices(x):
+        outs = []
+        h = x
+        for i, conv in enumerate(params["convs"]):
+            if i in (1, 2):          # MaxPool before conv1 and conv2
+                h = _maxpool3s2(h)
+            ph, pw = conv["padding"]
+            h = jax.lax.conv_general_dilated(
+                h, conv["w"], conv["stride"], [(ph, ph), (pw, pw)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            h = jnp.maximum(h + conv["b"], 0)
+            outs.append(h)
+        return outs
+
+    f0, f1 = slices(prep(pred)), slices(prep(target))
+    total = jnp.zeros((), jnp.float32)
+    for k in range(5):
+        a, b = _unit_normalize(f0[k]), _unit_normalize(f1[k])
+        diff = (a - b) ** 2
+        w = params["lins"][k].reshape(1, 1, 1, -1)
+        total = total + jnp.mean(jnp.mean(
+            jnp.sum(w * diff, axis=-1, keepdims=True), axis=(1, 2)))
+    return total

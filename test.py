@@ -61,9 +61,17 @@ def make_lpips_metrics():
         vgg_fn = jax.jit(lambda a, b: lpips_apply(lp, a, b))
         vgg = lambda p, t: float(vgg_fn(p, t))
     except FileNotFoundError as e:
-        print(f"WARNING: {e}\nWARNING: LPIPS metrics will be nan.")
+        print(f"WARNING: {e}\nWARNING: LPIPS-VGG metric will be nan.")
         vgg = lambda p, t: float("nan")
-    alex = lambda p, t: float("nan")  # AlexNet LPIPS needs converted weights
+    try:
+        from papr_tpu.model.lpips_jax import (load_lpips_alex_params,
+                                              lpips_alex_apply)
+        la = load_lpips_alex_params()
+        alex_fn = jax.jit(lambda a, b: lpips_alex_apply(la, a, b))
+        alex = lambda p, t: float(alex_fn(p, t))
+    except FileNotFoundError as e:
+        print(f"WARNING: {e}\nWARNING: LPIPS-alex metric will be nan.")
+        alex = lambda p, t: float("nan")
     return alex, vgg
 
 

@@ -62,3 +62,63 @@ def test_lpips_zero_for_identical():
     rng = np.random.default_rng(1)
     a = rng.random((1, 16, 16, 3)).astype(np.float32)
     assert float(lpips_apply(params, a, a)) == 0.0
+
+
+def test_lpips_alex_matches_torch_formula():
+    """AlexNet-backbone LPIPS vs an independent torch build (random weights)."""
+    import torch.nn as nn
+    from papr_tpu.model.lpips_jax import lpips_alex_apply
+
+    rng = np.random.default_rng(3)
+    plan = [  # (in, out, k, stride, pad) — torchvision AlexNet features
+        (3, 64, 11, 4, 2), (64, 192, 5, 1, 2), (192, 384, 3, 1, 1),
+        (384, 256, 3, 1, 1), (256, 256, 3, 1, 1)]
+    params = {"convs": [], "lins": []}
+    tconvs = []
+    for (ci, co, k, s, p) in plan:
+        w = (rng.normal(size=(k, k, ci, co)) * 0.03).astype(np.float32)
+        b = (rng.normal(size=(co,)) * 0.03).astype(np.float32)
+        params["convs"].append({"w": w, "b": b, "stride": (s, s),
+                                "padding": (p, p)})
+        conv = nn.Conv2d(ci, co, k, stride=s, padding=p)
+        conv.weight.data = torch.from_numpy(w.transpose(3, 2, 0, 1).copy())
+        conv.bias.data = torch.from_numpy(b.copy())
+        tconvs.append(conv)
+        params["lins"].append(rng.random(co).astype(np.float32))
+
+    def torch_alex(in0, in1):
+        def prep(img):
+            t = torch.from_numpy(np.asarray(img).transpose(0, 3, 1, 2).copy())
+            t = 2 * t - 1
+            return (t - torch.from_numpy(SHIFT).view(1, 3, 1, 1)) / \
+                torch.from_numpy(SCALE).view(1, 3, 1, 1)
+
+        def slices(x):
+            outs = []
+            h = x
+            for i, conv in enumerate(tconvs):
+                if i in (1, 2):
+                    h = tF.max_pool2d(h, 3, stride=2)
+                h = tF.relu(conv(h))
+                outs.append(h)
+            return outs
+
+        f0, f1 = slices(prep(in0)), slices(prep(in1))
+        total = 0.0
+        for k in range(5):
+            def norm(f):
+                n = torch.sqrt(torch.sum(f ** 2, dim=1, keepdim=True) + 1e-10)
+                return f / (n + 1e-10)
+            diff = (norm(f0[k]) - norm(f1[k])) ** 2
+            w = torch.from_numpy(params["lins"][k].copy()).view(1, -1, 1, 1)
+            total = total + torch.sum(w * diff, dim=1,
+                                      keepdim=True).mean(dim=(2, 3))
+        return float(total.mean())
+
+    a = rng.random((1, 64, 64, 3)).astype(np.float32)
+    b = rng.random((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = torch_alex(a, b)
+    got = float(lpips_alex_apply(
+        jax.tree.map(lambda x: x, params), a, b))
+    np.testing.assert_allclose(got, want, rtol=2e-3)

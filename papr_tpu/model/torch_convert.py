@@ -67,6 +67,8 @@ def to_torch_state_dict(params: dict, state: dict, cfg) -> dict:
     meta = model_meta(cfg)
     alive = _np(state["alive"]).astype(bool)
     out: dict = {
+        # select_k is a registered buffer in the reference (models/model.py:34)
+        "select_k": np.asarray(int(cfg.geoms.points.select_k), np.int32),
         "points": _np(params["points"])[alive],
         "points_influ_scores": _np(params["points_influ_scores"])[alive],
         "bkg_feats": _np(params["bkg_feats"]),

@@ -157,3 +157,30 @@ def test_forward_matches_reference_batched():
                      torch.from_numpy(c2w), step=-1).numpy()
     assert ours.shape == theirs.shape == (2, 6, 6, 3)
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
+
+
+def test_export_torch_loads_into_reference_exactly(tmp_path):
+    """export_torch writes a model.pth whose key set equals the reference's
+    state_dict exactly, and the reference loads it without fallback."""
+    from papr_tpu.train.checkpoint import export_torch
+
+    cfg = tiny_cfg()
+    params, state = create_model(cfg, jax.random.PRNGKey(11))
+    path = str(tmp_path / "model.pth")
+    export_torch(path, params, state, cfg, step=123)
+
+    import_reference_models()
+    from models.model import PAPR
+    ref = PAPR(cfg, device="cpu")
+
+    obj = torch.load(path, weights_only=False)
+    assert list(obj.keys()) == ["123"]
+    sd = obj["123"]
+    ref_keys = set(ref.state_dict().keys())
+    ours = set(sd.keys())
+    assert ours == ref_keys, (sorted(ours - ref_keys),
+                              sorted(ref_keys - ours))
+    ref.load_my_state_dict(sd)
+    for name, p in ref.state_dict().items():
+        np.testing.assert_allclose(p.numpy(), sd[name].numpy(), atol=1e-7,
+                                   err_msg=name)

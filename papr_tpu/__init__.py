@@ -9,12 +9,10 @@ __version__ = "0.1.0"
 
 import jax as _jax
 
-# Full fp32 precision whenever operands are fp32 (top-k distance ordering and
-# parity paths depend on it). Fast paths opt into speed by casting to bf16
-# explicitly (nn.mlp.Policy), which native MXU execution honors regardless of
-# this setting.
-if _jax.config.jax_default_matmul_precision is None:
-    _jax.config.update("jax_default_matmul_precision", "highest")
+# Matmul precision is set per-op, not globally: fp32 compute paths (parity
+# mode, distance/top-k ordering) request Precision.HIGHEST explicitly, while
+# bf16 fast paths ride the backend default (a global "highest" was measured
+# to slow bf16 embedder matmuls by ~22% on v5e).
 
 # Persistent compilation cache: remote TPU compiles in this environment take
 # 1-5 minutes; the on-disk cache makes reruns (bench, CLIs, resume) near

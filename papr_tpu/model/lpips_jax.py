@@ -86,7 +86,9 @@ def _vgg_slices(params: dict, x: jnp.ndarray, compute_dtype=None):
         if compute_dtype is not None:
             w, b = w.astype(compute_dtype), b.astype(compute_dtype)
         h = jax.lax.conv_general_dilated(
-            h, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            h, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=(jax.lax.Precision.HIGHEST if compute_dtype is None
+                       else None))
         h = jnp.maximum(h + b, 0)
         if i in SLICE_ENDS:
             outs.append(h)
@@ -169,7 +171,8 @@ def lpips_alex_apply(params: dict, pred: jnp.ndarray,
             ph, pw = conv["padding"]
             h = jax.lax.conv_general_dilated(
                 h, conv["w"], conv["stride"], [(ph, ph), (pw, pw)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST)
             h = jnp.maximum(h + conv["b"], 0)
             outs.append(h)
         return outs

@@ -83,7 +83,11 @@ def linear_apply(params: dict, x: jnp.ndarray, policy: Policy = F32) -> jnp.ndar
         w = params["g"] * v / (jnp.linalg.norm(v, axis=1, keepdims=True))
     else:
         w = params["w"]
-    y = jnp.dot(policy.cast(x), policy.cast(w).T)
+    # fp32 compute (parity mode) needs true fp32 matmuls; bf16 rides the
+    # backend default (see papr_tpu/__init__ note).
+    prec = (jax.lax.Precision.HIGHEST
+            if policy.compute_dtype == jnp.float32 else None)
+    y = jnp.dot(policy.cast(x), policy.cast(w).T, precision=prec)
     if "bias" in params:
         y = y + policy.cast(params["bias"])
     return y

@@ -39,11 +39,17 @@ def conv_init(key: jax.Array, in_c: int, out_c: int, k: int) -> dict:
     return {"w": w, "b": b}
 
 
+def _prec(policy: Policy):
+    return (jax.lax.Precision.HIGHEST
+            if policy.compute_dtype == jnp.float32 else None)
+
+
 def conv_apply(p: dict, x: jnp.ndarray, policy: Policy = F32,
                padding: str = "SAME") -> jnp.ndarray:
     y = jax.lax.conv_general_dilated(
         policy.cast(x), policy.cast(p["w"]), window_strides=(1, 1),
-        padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_prec(policy))
     return y + policy.cast(p["b"])
 
 
@@ -68,7 +74,8 @@ def convT2x2_apply(p: dict, x: jnp.ndarray, policy: Policy = F32) -> jnp.ndarray
     """
     n, h, w, cin = x.shape
     # (N,H,W,Cin) x (2,2,Cin,Cout) -> (N,H,W,2,2,Cout), then interleave pixels.
-    y = jnp.einsum("nhwc,xyco->nhwxyo", policy.cast(x), policy.cast(p["w"]))
+    y = jnp.einsum("nhwc,xyco->nhwxyo", policy.cast(x), policy.cast(p["w"]),
+                   precision=_prec(policy))
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, -1)
     return y + policy.cast(p["b"])
 

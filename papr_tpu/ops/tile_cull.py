@@ -146,14 +146,15 @@ def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
     # ---- stage 1: per-tile cone + bounds --------------------------------
     c = jnp.sum(unit, axis=1)
     c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)  # (T, 3)
-    cosd = jnp.min(jnp.einsum("trd,td->tr", unit, c), axis=1)  # (T,)
+    cosd = jnp.min(jnp.einsum("trd,td->tr", unit, c,
+                              precision=jax.lax.Precision.HIGHEST), axis=1)
     cosd = jnp.clip(cosd, -1.0, 1.0)
     sind = jnp.sqrt(jnp.maximum(1.0 - cosd * cosd, 0.0))
 
     v = points - rays_o                                  # (P, 3)
     vnorm2 = jnp.sum(v * v, axis=-1)
     vnorm = jnp.sqrt(vnorm2)                             # (P,)
-    t_c = c @ v.T                                        # (T, P) MXU matmul
+    t_c = jnp.dot(c, v.T, precision=jax.lax.Precision.HIGHEST)  # (T, P)
     cos_a = t_c / jnp.maximum(vnorm, eps)[None, :]
     cos_a = jnp.clip(cos_a, -1.0, 1.0)
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))

@@ -40,7 +40,9 @@ def pairwise_dist2(points: jnp.ndarray, rays_o: jnp.ndarray,
     rays_d = rays_d.astype(jnp.float32)
     v = points - rays_o.astype(jnp.float32)          # (P, 3)
     v2 = jnp.sum(v * v, axis=-1)                     # (P,)
-    t = rays_d @ v.T                                 # (R, P) — the MXU matmul
+    # exact fp32 (distance ORDERING depends on it; default TPU precision
+    # runs fp32 matmuls through bf16 passes)
+    t = jnp.dot(rays_d, v.T, precision=jax.lax.Precision.HIGHEST)
     dd = jnp.sum(rays_d * rays_d, axis=-1)           # (R,)
     f = (dd + 2 * eps) / (dd + eps) ** 2             # (R,)
     return v2[None, :] - (t * t) * f[:, None]

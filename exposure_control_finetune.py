@@ -85,8 +85,8 @@ def run(cfg, eval_cfg, sample_cfg, resume):
     from papr_tpu.train.step import make_train_step
 
     log_dir = os.path.join(cfg.save_dir, cfg.index)
-    dataset = get_dataset(cfg.dataset, mode="train")
-    sample_dataset = get_dataset(sample_cfg.dataset, mode="train")
+    dataset = get_dataset(cfg.dataset, mode="train", seed=int(cfg.seed))
+    sample_dataset = get_dataset(sample_cfg.dataset, mode="train", seed=int(cfg.seed))
     eval_dataset = get_dataset(eval_cfg.dataset, mode="test")
     trainloader = get_loader(dataset, cfg.dataset, mode="train")
 

@@ -36,7 +36,7 @@ class Batch:
 class RINDataset:
     """Per-image random patches of (target RGB, ray dirs, ray origin)."""
 
-    def __init__(self, args, mode: str = "train"):
+    def __init__(self, args, mode: str = "train", seed: int = 0):
         self.args = args
         images, c2w, H, W, fx, fy, paths = load_meta_data(args, mode=mode)
         coord_scale = float(args.coord_scale)
@@ -50,7 +50,10 @@ class RINDataset:
         self.c2w = c2w.astype(np.float32)
         self.image_paths = paths
         self.images = images if args.read_offline else images[:1]
-        self._rng = np.random.default_rng()
+        # Patch sampling is deterministic under the config seed, like the
+        # reference's global setup_seed (utils.py:42-45 feeding the
+        # np.random.randint crops in dataset/utils.py:110-111).
+        self._rng = np.random.default_rng(seed)
         self._img_cache: dict = {}
 
         if args.read_offline:
@@ -213,23 +216,29 @@ class Loader:
             yield item
 
 
-def device_prefetch(loader, depth: int = 2):
+def device_prefetch(loader, depth: int = 2, plan=None):
     """Wrap a Batch iterator so host->device transfers overlap compute.
 
     jax.device_put is async; holding ``depth`` in-flight device batches keeps
     the transfer off the step's critical path (the torch reference blocks on
-    `.to(device)` per tensor, train.py:163-166).
+    `.to(device)` per tensor, train.py:163-166). With a ``ShardingPlan`` the
+    batch lands pre-sharded over the mesh: image/rays over (data, rays),
+    origins/poses over (data,) — each host->device shard rides its own DMA.
     """
     import collections
 
     import jax
 
+    rays_s = batch_s = None
+    if plan is not None:
+        rays_s, batch_s = plan.rays, plan.batch_only
+
     def to_device(b: Batch) -> Batch:
         return Batch(img_idx=b.img_idx, patch_idx=b.patch_idx,
-                     image=jax.device_put(b.image),
-                     rayd=jax.device_put(b.rayd),
-                     rayo=jax.device_put(b.rayo),
-                     c2w=jax.device_put(b.c2w))
+                     image=jax.device_put(b.image, rays_s),
+                     rayd=jax.device_put(b.rayd, rays_s),
+                     rayo=jax.device_put(b.rayo, batch_s),
+                     c2w=jax.device_put(b.c2w, batch_s))
 
     queue = collections.deque()
     it = iter(loader)
@@ -247,8 +256,8 @@ def device_prefetch(loader, depth: int = 2):
         yield out
 
 
-def get_dataset(dataset_args, mode: str = "train") -> RINDataset:
-    return RINDataset(dataset_args, mode=mode)
+def get_dataset(dataset_args, mode: str = "train", seed: int = 0) -> RINDataset:
+    return RINDataset(dataset_args, mode=mode, seed=seed)
 
 
 def get_loader(dataset: RINDataset, dataset_args, mode: str = "train") -> Loader:

@@ -31,7 +31,11 @@ class ShardingPlan:
 def make_mesh(data: int = 1, rays: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = data * rays
-    assert n <= len(devices), (n, len(devices))
+    if n > len(devices):
+        raise ValueError(
+            f"tpu.mesh=(data={data}, rays={rays}) needs {n} devices but only "
+            f"{len(devices)} are visible ({devices[0].platform}); reduce the "
+            f"mesh or run with XLA_FLAGS=--xla_force_host_platform_device_count")
     import numpy as np
     arr = np.asarray(devices[:n]).reshape(data, rays)
     return Mesh(arr, ("data", "rays"))

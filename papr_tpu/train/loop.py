@@ -100,13 +100,47 @@ def eval_step(step, params, state, cfg, dataset, eval_dataset, batch,
                               f"{cfg.index}_iter_{step}.png"))
 
 
+def _mesh_plan(cfg):
+    """Build the (data, rays) ShardingPlan from ``tpu.mesh``, or None.
+
+    The SPMD analogue of the reference's spatial tile loop (train.py:59-70):
+    batch images shard over 'data', patch rows over 'rays'; parameters are
+    replicated and gradient reduction is an XLA all-reduce over ICI.
+    """
+    data = int(cfg.get_path("tpu.mesh.data", 1))
+    rays = int(cfg.get_path("tpu.mesh.rays", 1))
+    if data * rays <= 1:
+        return None
+    from ..parallel.mesh import make_plan, mesh_from_config
+    bs = int(cfg.dataset.batch_size)
+    ph = int(cfg.dataset.patches.height)
+    if bs % data != 0:
+        raise ValueError(f"dataset.batch_size={bs} must be divisible by "
+                         f"tpu.mesh.data={data}")
+    if ph % rays != 0:
+        raise ValueError(f"dataset.patches.height={ph} must be divisible by "
+                         f"tpu.mesh.rays={rays}")
+    plan = make_plan(mesh_from_config(cfg))
+    print(f"Multi-chip: mesh=(data={data}, rays={rays}) over "
+          f"{data * rays} devices")
+    return plan
+
+
 def train_and_eval(cfg, eval_cfg, resume: int = 0):
+    plan = _mesh_plan(cfg)
+    if plan is not None:
+        with jax.set_mesh(plan.mesh):
+            return _train_and_eval(cfg, eval_cfg, resume, plan)
+    return _train_and_eval(cfg, eval_cfg, resume, None)
+
+
+def _train_and_eval(cfg, eval_cfg, resume: int, plan):
     log_dir = os.path.join(cfg.save_dir, cfg.index)
     os.makedirs(log_dir, exist_ok=True)
     test_dir = os.path.join(log_dir, "test")
     os.makedirs(test_dir, exist_ok=True)
 
-    dataset = get_dataset(cfg.dataset, mode="train")
+    dataset = get_dataset(cfg.dataset, mode="train", seed=int(cfg.seed))
     eval_dataset = get_dataset(eval_cfg.dataset, mode="test")
     trainloader = get_loader(dataset, cfg.dataset, mode="train")
 
@@ -140,7 +174,17 @@ def train_and_eval(cfg, eval_cfg, resume: int = 0):
     policy = None  # policy comes from cfg inside make_train_step
     loss_fn = build_loss(cfg)
     train_step, _ = make_train_step(
-        cfg, loss_fn=loss_fn, donate=bool(cfg.get_path("tpu.donate_state", True)))
+        cfg, loss_fn=loss_fn, sharding=plan,
+        donate=bool(cfg.get_path("tpu.donate_state", True)))
+
+    def replicate(*trees):
+        """Pin host/resumed params etc. replicated over the mesh."""
+        if plan is None:
+            return trees if len(trees) > 1 else trees[0]
+        out = tuple(jax.device_put(t, plan.replicated) for t in trees)
+        return out if len(out) > 1 else out[0]
+
+    params, opt_state, state = replicate(params, opt_state, state)
     last_act = build_activation(cfg.models.last_act)
     np_rng = np.random.default_rng(int(cfg.seed) + 1)
 
@@ -161,7 +205,7 @@ def train_and_eval(cfg, eval_cfg, resume: int = 0):
 
     print("Start step:", start_step, "Total steps:", tr.steps)
     while step < tr.steps:
-        for batch in device_prefetch(trainloader):
+        for batch in device_prefetch(trainloader, plan=plan):
             if profile_start >= 0 and step == profile_start:
                 jax.profiler.start_trace(os.path.join(log_dir, "profile"))
             if profile_start >= 0 and step == profile_start + profile_len:
@@ -200,6 +244,7 @@ def train_and_eval(cfg, eval_cfg, resume: int = 0):
                 # = the reference's clear_optimizer + init_optimizers(step):
                 # moments reset; schedules continue from the global step.
                 opt_state = init_opt_state(params, specs)
+                params, opt_state, state = replicate(params, opt_state, state)
 
             # ---- the jitted device step ----
             params, opt_state, loss, pred = train_step(

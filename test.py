@@ -103,7 +103,7 @@ def run_test(cli, cfg, save_name, mode, resume_step):
             load_path, params, state, cfg)
     print(f"!!!!! Loaded model from {load_path} at step {resume_step}")
 
-    dataset = get_dataset(cfg.dataset, mode=mode)
+    dataset = get_dataset(cfg.dataset, mode=mode, seed=int(cfg.seed))
     loader = get_loader(dataset, cfg.dataset, mode="test")
     loss_fn = build_loss(cfg)
     lpips_alex, lpips_vgg = make_lpips_metrics()

@@ -140,7 +140,9 @@ def run(cfg, eval_cfg, sample_cfg, resume):
     loss_fn = build_loss(cfg)
     train_step, _ = make_train_step(cfg, loss_fn=loss_fn)
     last_act = build_activation(cfg.models.last_act)
-    score_fn = _candidate_scores_fn(cfg)
+    # select_by 'loss' must rank candidates by the full training loss
+    # (reference utils.py:479-481), not silently fall back to MSE.
+    score_fn = _candidate_scores_fn(cfg, loss_fn=loss_fn)
 
     tr = cfg.training
     ec = cfg.exposure_control

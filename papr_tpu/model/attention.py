@@ -70,27 +70,34 @@ def _encode(features, Ls, embed_type: int, pe_factor: float, pe_mult: float,
 def attention_apply(params: dict, attn_cfg, k_features, q_features,
                     v_features, k_extra=None, q_extra=None, v_extra=None,
                     eps: float = 1e-6, policy: Policy = F32,
-                    remat: bool = False):
+                    remat: bool = False, dropout_rng: jax.Array | None = None):
     """Compute (embed_k, embed_q, embed_v, scores).
 
     Inputs are lists of geometric features shaped (..., K, d_i) (query:
     (..., 1, d_i)). Returns scores (..., K) in fp32 after the score
-    activation, and embedv (..., K, d_ff_out) for fusion.
+    activation, and embedv (..., K, d_ff_out) for fusion. ``dropout_rng``
+    enables embedder dropout (training only; rate = embed.*.dropout_ff,
+    reference models/attn.py:108-117).
     """
     e = attn_cfg.embed
     k_in = _encode(k_features, e.k_L, e.embed_type, e.pe_factor, e.pe_mult_factor, k_extra)
     q_in = _encode(q_features, e.q_L, e.embed_type, e.pe_factor, e.pe_mult_factor, q_extra)
     v_in = _encode(v_features, e.v_L, e.embed_type, e.pe_factor, e.pe_mult_factor, v_extra)
 
-    def run(ff_params, x, ff_cfg):
-        f = lambda p, t: feedforward_apply(p, t, ff_cfg, ff_cfg.d_ff_out, eps, policy)
+    rngs = (jax.random.split(dropout_rng, 3) if dropout_rng is not None
+            else (None, None, None))
+
+    def run(ff_params, x, ff_cfg, rng):
+        f = lambda p, t: feedforward_apply(p, t, ff_cfg, ff_cfg.d_ff_out, eps,
+                                           policy, dropout_rng=rng,
+                                           train=rng is not None)
         if remat:
             f = jax.checkpoint(f)
         return f(ff_params, policy.cast(x))
 
-    k = run(params["embed_k"], k_in, e.key)
-    q = run(params["embed_q"], q_in, e.query)
-    v = run(params["embed_v"], v_in, e.value)
+    k = run(params["embed_k"], k_in, e.key, rngs[0])
+    q = run(params["embed_q"], q_in, e.query, rngs[1])
+    v = run(params["embed_v"], v_in, e.value, rngs[2])
 
     # Scaled-dot scores (reference: models/attn.py:212-226), single head,
     # promoted to fp32 for the softmax that follows. Written as an

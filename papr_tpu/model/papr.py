@@ -219,7 +219,7 @@ def mapping_apply(params: dict, cfg, shading_code: jnp.ndarray,
 
 
 def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
-            remat: bool = True):
+            remat: bool = True, dropout_rng=None):
     """Shared front half of forward/evaluate: returns per-ray fused inputs.
 
     rays_o (N, 3), rays_d (N, H, W, 3) -> embedv (N,H,W,K,C),
@@ -306,7 +306,8 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
 
     _, _, embedv, scores = attention_apply(
         params["attn"], cfg.models.attn, k_feats, q_feats, v_feats,
-        k_extra, q_extra, v_extra, eps=eps, policy=policy, remat=remat)
+        k_extra, q_extra, v_extra, eps=eps, policy=policy, remat=remat,
+        dropout_rng=dropout_rng)
 
     scores = scores * influ.astype(jnp.float32)
     scores = jnp.where(sel_alive, scores, NEG_BIG)
@@ -351,10 +352,12 @@ def render_foreground(params: dict, cfg, fused: jnp.ndarray, gamma=None,
 
 
 def forward(params: dict, state: dict, cfg, rays_o, rays_d, c2w=None,
-            shading_code=None, policy: Policy = F32) -> jnp.ndarray:
+            shading_code=None, policy: Policy = F32,
+            dropout_rng=None) -> jnp.ndarray:
     """Full training forward -> RGB (N, H, W, 3) fp32.
 
-    Reference: models/model.py:494-560.
+    Reference: models/model.py:494-560. ``dropout_rng`` activates embedder
+    dropout (training mode); eval paths leave it None.
     """
     meta = model_meta(cfg)
     gamma = beta = None
@@ -363,7 +366,7 @@ def forward(params: dict, state: dict, cfg, rays_o, rays_d, c2w=None,
 
     remat = bool(cfg.get_path("tpu.remat_embed", True))
     embedv, scores, _, _ = _attend(params, state, cfg, rays_o, rays_d, policy,
-                                   remat=remat)
+                                   remat=remat, dropout_rng=dropout_rng)
     fused, attn = _softmax_fuse(cfg, embedv, scores,
                                 float(cfg.geoms.background.constant))
     bkg_attn = attn[..., -1:]                                # (N,H,W,1)

@@ -39,8 +39,10 @@ def _candidate_scores_fn(cfg, loss_fn=None):
     """
     policy = policy_from_config(cfg)
     last_act = build_activation(cfg.models.last_act)
-    by_loss = (cfg.exposure_control.shading_code_resample_select_by == "loss"
-               and loss_fn is not None)
+    by_loss = cfg.exposure_control.shading_code_resample_select_by == "loss"
+    if by_loss and loss_fn is None:
+        from .loop import build_loss
+        loss_fn = build_loss(cfg)
 
     @jax.jit
     def score_codes(params, fused, bkg_attn, img, codes):

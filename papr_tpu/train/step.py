@@ -35,16 +35,25 @@ def make_train_step(cfg, loss_fn=None, sharding=None, donate: bool = True):
     last_act = build_activation(cfg.models.last_act)
     if loss_fn is None:
         loss_fn = get_loss(cfg.training.losses, policy=policy)
+    # Embedder dropout (reference models/attn.py:108-117): active only when a
+    # config asks for it; the per-step rng folds the global step into a
+    # seed-derived key so resumed runs replay the same masks.
+    e = cfg.models.attn.embed
+    use_dropout = any(float(e[n].dropout_ff) > 0 for n in ("key", "query", "value"))
+    base_key = jax.random.PRNGKey(int(cfg.seed)) if use_dropout else None
 
     def step_fn(params, opt_state, state, rayo, rayd, target, c2w, step,
                 shading_code=None):
         if sharding is not None:
             rayd = jax.lax.with_sharding_constraint(rayd, sharding.rays)
             target = jax.lax.with_sharding_constraint(target, sharding.rays)
+        dropout_rng = (jax.random.fold_in(base_key, step)
+                       if use_dropout else None)
 
         def compute_loss(p):
             out = forward(p, state, cfg, rayo, rayd, c2w,
-                          shading_code=shading_code, policy=policy)
+                          shading_code=shading_code, policy=policy,
+                          dropout_rng=dropout_rng)
             out = last_act(out)
             if sharding is not None:
                 out = jax.lax.with_sharding_constraint(out, sharding.replicated)
@@ -75,6 +84,9 @@ def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
     round-trips to the host in between. With ``extras`` the fused features /
     attention / selected points are also returned (exposure resampling,
     depth, featattn plots); plain renders return just foreground+rgb."""
+    # The cfg object itself is kept in the cache value: a live reference
+    # guarantees id(cfg) is never recycled for a different config, so a
+    # long-lived process can't hit a stale jitted closure.
     key = (id(cfg), extras, run_unet)
     if key not in _cache:
         meta = model_meta(cfg)
@@ -122,8 +134,8 @@ def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
                 return rgb, fg[..., 0, :], bkg_attn[..., 0, :], fused, attn, untile(s)
             return rgb, fg[..., 0, :], bkg_attn[..., 0, :]
 
-        _cache[key] = fn
-    return _cache[key]
+        _cache[key] = (cfg, fn)
+    return _cache[key][1]
 
 
 def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,

@@ -38,8 +38,6 @@ def parse_args():
                    help="[Exposure control] latent interpolation")
     p.add_argument("--random", action="store_true",
                    help="[Exposure control] random codes")
-    p.add_argument("--resample", action="store_true",
-                   help="[Exposure control] resample shading codes")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--view", type=int, default=0,
                    help="[Exposure control] test frame index")
@@ -94,6 +92,13 @@ def run_test(cli, cfg, save_name, mode, resume_step):
         load_path = alt if os.path.exists(alt) else load_path
     if load_path.endswith(".npz") or os.path.exists(
             os.path.join(load_path, "checkpoint.npz")):
+        # Honor --resume <step> like the reference's model_<step>.pth
+        # (reference test.py:320): prefer the checkpoint_<step>.npz snapshot
+        # when it exists, else fall back to the latest checkpoint.npz.
+        if not load_path.endswith(".npz"):
+            snap = os.path.join(load_path, f"checkpoint_{resume_step}.npz")
+            if os.path.exists(snap):
+                load_path = snap
         resume_step, tree = load_checkpoint(load_path)
         params = restore_into(params, tree["params"])
         state = restore_into(state, tree["state"])

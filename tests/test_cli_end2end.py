@@ -4,6 +4,7 @@ on a tiny procedural scene, via the real command-line entry points
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -93,6 +94,30 @@ def test_test_cli(trained):
     assert any("predrgb" in n for n in names)
     assert any("depth" in n for n in names)
     assert any("bkgmask" in n for n in names)
+
+
+def test_test_cli_resume_step_loads_snapshot(trained):
+    """--resume <step> prefers checkpoint_<step>.npz (reference test.py:320
+    loads model_<step>.pth at the requested step)."""
+    tmp, cfg_path = trained
+    run_dir = tmp / "experiments" / "smoke"
+    shutil.copyfile(run_dir / "checkpoint.npz", run_dir / "checkpoint_8.npz")
+    out = _run(["test.py", "--opt", cfg_path, "--resume", "8"])
+    assert "checkpoint_8.npz" in out
+    # a step with no snapshot falls back to the latest checkpoint.npz
+    out2 = _run(["test.py", "--opt", cfg_path, "--resume", "99999"])
+    assert "checkpoint_8.npz" not in out2
+    assert "Avg test loss" in out2
+
+
+def test_test_cli_rejects_removed_resample_flag(trained):
+    tmp, cfg_path = trained
+    env = dict(os.environ, PAPR_PLATFORM="cpu")
+    r = subprocess.run([sys.executable, "test.py", "--opt", cfg_path,
+                        "--resample"], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 2
+    assert "unrecognized arguments" in r.stderr
 
 
 def test_exposure_finetune_cli(trained, tmp_path):

@@ -1,0 +1,155 @@
+"""Round-2 correctness fixes: embedder dropout wiring, exposure select_by
+'loss' plumbing, test.py --resume snapshot semantics."""
+
+import jax
+import numpy as np
+import pytest
+
+from papr_tpu.config import load_config, merge_config
+from papr_tpu.model.papr import create_model, forward
+from papr_tpu.train.step import make_opt_state, make_train_step
+
+
+def tiny_cfg(**over):
+    overrides = {
+        "use_amp": False,
+        "max_num_pts": 64,
+        "dataset": {"coord_scale": 1.0},
+        "geoms": {"points": {"select_k": 4, "init_num": 50},
+                  "point_feats": {"dim": 8}},
+        "models": {"attn": {"d_model": 32, "embed": {
+            "k_L": [2, 2, 2], "q_L": [2], "v_L": [2, 2],
+            "key": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2},
+            "query": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2},
+            "value": {"d_ff": 16, "d_ff_out": 8, "n_ff_layer": 3}}}},
+        "training": {"losses": {"mse": 1.0, "lpips": 0.0, "lpips_alex": 0.0}},
+    }
+    merge_config(overrides, over)
+    return load_config(overrides=overrides)
+
+
+def _rays(H=8, W=8, seed=3):
+    rng = np.random.default_rng(seed)
+    rayo = rng.normal(size=(1, 3)).astype(np.float32) * 2.5
+    rayd = rng.normal(size=(1, H, W, 3)).astype(np.float32)
+    rayd /= np.linalg.norm(rayd, axis=-1, keepdims=True)
+    c2w = np.eye(4, dtype=np.float32)[None]
+    return rayo, rayd, c2w
+
+
+# ------------------------------------------------------------- dropout ----
+
+def _dropout_over(rate):
+    return {"models": {"attn": {"embed": {
+        "key": {"dropout_ff": rate},
+        "query": {"dropout_ff": rate},
+        "value": {"dropout_ff": rate}}}}}
+
+
+def test_dropout_active_in_training_forward():
+    cfg = tiny_cfg(**_dropout_over(0.5))
+    params, state = create_model(cfg, jax.random.PRNGKey(0))
+    rayo, rayd, c2w = _rays()
+
+    eval_out = np.asarray(forward(params, state, cfg, rayo, rayd, c2w))
+    eval_out2 = np.asarray(forward(params, state, cfg, rayo, rayd, c2w))
+    np.testing.assert_array_equal(eval_out, eval_out2)  # eval: no dropout
+
+    drop1 = np.asarray(forward(params, state, cfg, rayo, rayd, c2w,
+                               dropout_rng=jax.random.PRNGKey(1)))
+    drop2 = np.asarray(forward(params, state, cfg, rayo, rayd, c2w,
+                               dropout_rng=jax.random.PRNGKey(2)))
+    assert np.abs(drop1 - eval_out).max() > 1e-6   # dropout actually fires
+    assert np.abs(drop1 - drop2).max() > 1e-6      # masks depend on the rng
+
+
+def test_dropout_in_train_step_varies_by_step():
+    cfg = tiny_cfg(**_dropout_over(0.5))
+    params, state = create_model(cfg, jax.random.PRNGKey(0))
+    opt = make_opt_state(cfg, params)
+    rayo, rayd, c2w = _rays()
+    target = np.random.default_rng(0).random((1, 8, 8, 3), np.float32)
+
+    step_fn, _ = make_train_step(cfg, donate=False)
+    _, _, l0, _ = step_fn(params, opt, state, rayo, rayd, target, c2w, 0)
+    _, _, l0b, _ = step_fn(params, opt, state, rayo, rayd, target, c2w, 0)
+    _, _, l1, _ = step_fn(params, opt, state, rayo, rayd, target, c2w, 1)
+    assert float(l0) == float(l0b)            # same step -> same mask (resume)
+    assert float(l0) != float(l1)             # step folds into the mask
+    assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+
+
+def test_no_dropout_step_is_deterministic_across_steps():
+    cfg = tiny_cfg()
+    params, state = create_model(cfg, jax.random.PRNGKey(0))
+    opt = make_opt_state(cfg, params)
+    rayo, rayd, c2w = _rays()
+    target = np.random.default_rng(0).random((1, 8, 8, 3), np.float32)
+    step_fn, _ = make_train_step(cfg, donate=False)
+    _, _, l0, _ = step_fn(params, opt, state, rayo, rayd, target, c2w, 0)
+    _, _, l1, _ = step_fn(params, opt, state, rayo, rayd, target, c2w, 1)
+    assert float(l0) == float(l1)  # loss before update, same batch/params
+
+
+# ------------------------------------------- exposure select_by plumbing ----
+
+def test_candidate_scores_use_loss_fn_when_select_by_loss():
+    from papr_tpu.train.exposure import _candidate_scores_fn
+
+    base = {
+        "exposure_control": {"use": True, "shading_code_dim": 16,
+                             "mapping_mlp": {"num_layers": 2, "dim": 32,
+                                             "out_dim": 64}},
+        "models": {
+            "renderer": {"generator": {"small_unet": {"affine_layer": 0}}},
+            # FiLM gamma/beta (out_dim/2 = 32) must match the UNet width,
+            # which follows the fused feature dim = value.d_ff_out.
+            "attn": {"embed": {"value": {"d_ff_out": 32}}},
+        },
+        "geoms": {"point_feats": {"dim": 8}},
+    }
+    cfg_psnr = tiny_cfg(**base)
+    loss_over = dict(base)
+    merge_config(loss_over, {"exposure_control":
+                             {"shading_code_resample_select_by": "loss"}})
+    cfg_loss = tiny_cfg(**loss_over)
+    assert cfg_loss.exposure_control.shading_code_resample_select_by == "loss"
+
+    params, _ = create_model(cfg_psnr, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    C = int(cfg_psnr.models.attn.embed.value.d_ff_out)
+    fused = rng.normal(size=(1, 16, 16, C)).astype(np.float32)
+    bkg = rng.random(size=(1, 16, 16, 1, 1)).astype(np.float32)
+    img = rng.random(size=(1, 16, 16, 3)).astype(np.float32)
+    codes = rng.normal(size=(4, 16)).astype(np.float32)
+
+    mse_scores = np.asarray(_candidate_scores_fn(cfg_psnr)(
+        params, fused, bkg, img, codes))
+    import jax.numpy as jnp
+    neg = lambda p, t: -jnp.mean((p - t) ** 2)
+    loss_scores = np.asarray(_candidate_scores_fn(cfg_loss, loss_fn=neg)(
+        params, fused, bkg, img, codes))
+    np.testing.assert_allclose(loss_scores, -mse_scores, rtol=1e-5, atol=1e-7)
+    # ranking by the custom loss is the exact reverse of the MSE ranking
+    assert list(np.argsort(loss_scores)) == list(np.argsort(mse_scores)[::-1])
+
+
+# ------------------------------------------------ checkpoint snapshots ----
+
+def test_snapshot_checkpoints_roundtrip(tmp_path):
+    from papr_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = tiny_cfg()
+    params, state = create_model(cfg, jax.random.PRNGKey(0))
+    opt = make_opt_state(cfg, params)
+    save_checkpoint(str(tmp_path), 100, params, opt, state, keep_snapshot=True)
+    p2 = jax.tree.map(lambda x: x + 1.0, params)
+    save_checkpoint(str(tmp_path), 200, p2, opt, state)
+
+    step_l, tree_l = load_checkpoint(str(tmp_path))          # latest
+    assert step_l == 200
+    step_s, tree_s = load_checkpoint(str(tmp_path / "checkpoint_100.npz"))
+    assert step_s == 100
+    a = np.asarray(tree_s["params"]["points"])
+    b = np.asarray(tree_l["params"]["points"])
+    np.testing.assert_allclose(b, a + 1.0, rtol=1e-6)

@@ -70,7 +70,8 @@ def _encode(features, Ls, embed_type: int, pe_factor: float, pe_mult: float,
 def attention_apply(params: dict, attn_cfg, k_features, q_features,
                     v_features, k_extra=None, q_extra=None, v_extra=None,
                     eps: float = 1e-6, policy: Policy = F32,
-                    remat: bool = False, dropout_rng: jax.Array | None = None):
+                    remat: bool = False, dropout_rng: jax.Array | None = None,
+                    fused: bool = False, fused_interpret: bool = False):
     """Compute (embed_k, embed_q, embed_v, scores).
 
     Inputs are lists of geometric features shaped (..., K, d_i) (query:
@@ -80,14 +81,20 @@ def attention_apply(params: dict, attn_cfg, k_features, q_features,
     reference models/attn.py:108-117).
     """
     e = attn_cfg.embed
-    k_in = _encode(k_features, e.k_L, e.embed_type, e.pe_factor, e.pe_mult_factor, k_extra)
-    q_in = _encode(q_features, e.q_L, e.embed_type, e.pe_factor, e.pe_mult_factor, q_extra)
-    v_in = _encode(v_features, e.v_L, e.embed_type, e.pe_factor, e.pe_mult_factor, v_extra)
-
     rngs = (jax.random.split(dropout_rng, 3) if dropout_rng is not None
             else (None, None, None))
 
-    def run(ff_params, x, ff_cfg, rng):
+    def run(ff_params, feats, Ls, extra, ff_cfg, rng):
+        from ..ops.fused_mlp import feedforward_fusible, fused_embedder_apply
+        if fused and rng is None and feedforward_fusible(ff_cfg):
+            # Whole embedder — posenc + LN + dense stack + LN — in one
+            # Pallas kernel (VMEM-resident activations, flash-style
+            # recompute backward; remat is built in). ops/fused_mlp.py.
+            return fused_embedder_apply(ff_params, feats, extra, Ls, e,
+                                        ff_cfg, eps, policy,
+                                        interpret=fused_interpret)
+        x = _encode(feats, Ls, e.embed_type, e.pe_factor, e.pe_mult_factor,
+                    extra)
         f = lambda p, t: feedforward_apply(p, t, ff_cfg, ff_cfg.d_ff_out, eps,
                                            policy, dropout_rng=rng,
                                            train=rng is not None)
@@ -95,9 +102,9 @@ def attention_apply(params: dict, attn_cfg, k_features, q_features,
             f = jax.checkpoint(f)
         return f(ff_params, policy.cast(x))
 
-    k = run(params["embed_k"], k_in, e.key, rngs[0])
-    q = run(params["embed_q"], q_in, e.query, rngs[1])
-    v = run(params["embed_v"], v_in, e.value, rngs[2])
+    k = run(params["embed_k"], k_features, e.k_L, k_extra, e.key, rngs[0])
+    q = run(params["embed_q"], q_features, e.q_L, q_extra, e.query, rngs[1])
+    v = run(params["embed_v"], v_features, e.v_L, v_extra, e.value, rngs[2])
 
     # Scaled-dot scores (reference: models/attn.py:212-226), single head,
     # promoted to fp32 for the softmax that follows. Written as an

@@ -304,10 +304,19 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
         if pcf.use_inv:
             v_extra = [gathered]
 
+    # Fused embedder stacks (ops/fused_mlp.py). 'auto' currently resolves
+    # OFF: measured on v5e, the standalone embedder kernels win in isolation
+    # (13.1 vs 17.8 ms key, 23.5 vs 28.9 ms value) but the pallas boundary
+    # de-fuses the surrounding score/softmax chains and nets out slower
+    # (265k vs 289k rays/s full step). True forces them (tests use interpret
+    # mode on CPU); the full embed->score->fuse kernel supersedes this.
+    fa = cfg.get_path("tpu.fused_attn", "auto")
+    fused = bool(fa) if fa != "auto" else False
     _, _, embedv, scores = attention_apply(
         params["attn"], cfg.models.attn, k_feats, q_feats, v_feats,
         k_extra, q_extra, v_extra, eps=eps, policy=policy, remat=remat,
-        dropout_rng=dropout_rng)
+        dropout_rng=dropout_rng, fused=fused,
+        fused_interpret=jax.default_backend() != "tpu")
 
     scores = scores * influ.astype(jnp.float32)
     scores = jnp.where(sel_alive, scores, NEG_BIG)

@@ -148,8 +148,10 @@ def test_exposure_finetune_cli(trained, tmp_path):
 def test_bench_cpu_emits_json(tmp_path):
     env = dict(os.environ, PAPR_PLATFORM="cpu", PAPR_BENCH_SMALL="1",
                XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    # The LPIPS-primary step compiles VGG fwd+bwd on CPU (~5 min of XLA
+    # compile at the small shapes); generous timeout, measured 5m10s.
     r = subprocess.run([sys.executable, "bench.py"], cwd=REPO, env=env,
-                       capture_output=True, text=True, timeout=420)
+                       capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
     data = json.loads(line)

@@ -153,10 +153,11 @@ def _run_mode(mode: str, timeout: int = 2400):
     """One sub-metric in a fresh process (one config per process: required
     for trustworthy timing through the tunnel, and keeps a single TPU
     client alive at a time)."""
-    env = dict(_os.environ, PAPR_BENCH=mode)
+    env = dict(_os.environ, PAPR_BENCH=mode, PAPR_BENCH_CHILD="1")
     r = subprocess.run([sys.executable, _os.path.abspath(__file__)],
                        capture_output=True, text=True, timeout=timeout,
-                       cwd=_os.path.dirname(_os.path.abspath(__file__)))
+                       cwd=_os.path.dirname(_os.path.abspath(__file__)),
+                       env=env)
     sys.stderr.write(r.stderr[-2000:])
     if r.returncode != 0:
         print(f"bench: mode {mode} failed rc={r.returncode}", file=sys.stderr)
@@ -169,6 +170,10 @@ def _run_mode(mode: str, timeout: int = 2400):
 
 def main():
     mode = _os.environ.get("PAPR_BENCH", "")
+    if not mode and _os.environ.get("PAPR_BENCH_CHILD"):
+        # Recursion guard: a child that lost its PAPR_BENCH env must never
+        # re-orchestrate (that is a fork bomb).
+        raise SystemExit("bench: child process without PAPR_BENCH")
     if mode == "render":
         return bench_render()
     if mode == "train":

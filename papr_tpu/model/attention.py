@@ -67,18 +67,16 @@ def _encode(features, Ls, embed_type: int, pe_factor: float, pe_mult: float,
     return jnp.concatenate(parts, axis=-1)
 
 
-def attention_apply(params: dict, attn_cfg, k_features, q_features,
-                    v_features, k_extra=None, q_extra=None, v_extra=None,
-                    eps: float = 1e-6, policy: Policy = F32,
-                    remat: bool = False, dropout_rng: jax.Array | None = None,
-                    fused: bool = False, fused_interpret: bool = False):
-    """Compute (embed_k, embed_q, embed_v, scores).
+def embed_kqv(params: dict, attn_cfg, k_features, q_features, v_features,
+              k_extra=None, q_extra=None, v_extra=None, eps: float = 1e-6,
+              policy: Policy = F32, remat: bool = False,
+              dropout_rng: jax.Array | None = None, fused: bool = False,
+              fused_interpret: bool = False):
+    """Run the three geometric embedders -> (embed_k, embed_q, embed_v).
 
     Inputs are lists of geometric features shaped (..., K, d_i) (query:
-    (..., 1, d_i)). Returns scores (..., K) in fp32 after the score
-    activation, and embedv (..., K, d_ff_out) for fusion. ``dropout_rng``
-    enables embedder dropout (training only; rate = embed.*.dropout_ff,
-    reference models/attn.py:108-117).
+    (..., 1, d_i)). ``dropout_rng`` enables embedder dropout (training only;
+    rate = embed.*.dropout_ff, reference models/attn.py:108-117).
     """
     e = attn_cfg.embed
     rngs = (jax.random.split(dropout_rng, 3) if dropout_rng is not None
@@ -105,6 +103,22 @@ def attention_apply(params: dict, attn_cfg, k_features, q_features,
     k = run(params["embed_k"], k_features, e.k_L, k_extra, e.key, rngs[0])
     q = run(params["embed_q"], q_features, e.q_L, q_extra, e.query, rngs[1])
     v = run(params["embed_v"], v_features, e.v_L, v_extra, e.value, rngs[2])
+    return k, q, v
+
+
+def attention_apply(params: dict, attn_cfg, k_features, q_features,
+                    v_features, k_extra=None, q_extra=None, v_extra=None,
+                    eps: float = 1e-6, policy: Policy = F32,
+                    remat: bool = False, dropout_rng: jax.Array | None = None,
+                    fused: bool = False, fused_interpret: bool = False):
+    """Compute (embed_k, embed_q, embed_v, scores).
+
+    Returns scores (..., K) in fp32 after the score activation, and embedv
+    (..., K, d_ff_out) for fusion.
+    """
+    k, q, v = embed_kqv(params, attn_cfg, k_features, q_features, v_features,
+                        k_extra, q_extra, v_extra, eps, policy, remat,
+                        dropout_rng, fused, fused_interpret)
 
     # Scaled-dot scores (reference: models/attn.py:212-226), single head,
     # promoted to fp32 for the softmax that follows. Written as an

@@ -35,7 +35,7 @@ from ..nn.mlp import F32, Policy, mlp_init, mlp_apply
 from ..nn.unet import small_unet_apply, small_unet_init
 from ..ops.geometry import point_ray_geometry
 from ..ops.topk import select_topk
-from .attention import attention_apply, attention_init
+from .attention import attention_init, embed_kqv
 
 NEG_BIG = -1e30  # score for dead points: 0 softmax weight, finite gradients
 
@@ -220,11 +220,11 @@ def mapping_apply(params: dict, cfg, shading_code: jnp.ndarray,
 
 def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
             remat: bool = True, dropout_rng=None):
-    """Shared front half of forward/evaluate: returns per-ray fused inputs.
+    """Shared body of forward/evaluate: selection + attention + fusion.
 
-    rays_o (N, 3), rays_d (N, H, W, 3) -> embedv (N,H,W,K,C),
-    scores (N,H,W,K) fp32 (already influence-weighted and alive-masked),
-    selected_points (N,H,W,K,3).
+    rays_o (N, 3), rays_d (N, H, W, 3) -> fused (N,H,W,C) fp32,
+    attn (N,H,W,K+1) fp32 (background token last), selected points
+    (N,H,W,K,3), and the selection indices.
     """
     meta = model_meta(cfg)
     N, H, W, _ = rays_d.shape
@@ -304,23 +304,78 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
         if pcf.use_inv:
             v_extra = [gathered]
 
-    # Fused embedder stacks (ops/fused_mlp.py). 'auto' currently resolves
-    # OFF: measured on v5e, the standalone embedder kernels win in isolation
-    # (13.1 vs 17.8 ms key, 23.5 vs 28.9 ms value) but the pallas boundary
-    # de-fuses the surrounding score/softmax chains and nets out slower
-    # (265k vs 289k rays/s full step). True forces them (tests use interpret
-    # mode on CPU); the full embed->score->fuse kernel supersedes this.
+    # Fused attention path (ops/fused_mlp.py embedders and/or the
+    # ops/fused_attn.py score->softmax kernel): the embed->score pipeline
+    # runs as pallas kernels with custom VJPs, so no (T*K, d_model)
+    # activation or its gradient round-trips HBM. tpu.fused_attn:
+    #   True/'auto-on-TPU' = both kernels; 'embed' = embedder kernels only;
+    #   'score' = score kernel only; False = pure XLA (the parity oracle,
+    #   tests/test_fused_attn.py). Any config the kernels don't cover
+    #   (exotic embedder variants, custom score act, dropout, huge K)
+    #   falls back to pure XLA.
+    from ..ops.fused_attn import fused_scores, score_fusible
+    from ..ops.fused_mlp import feedforward_fusible
+    e = cfg.models.attn.embed
+    fusible = (dropout_rng is None and k <= 64
+               and score_fusible(cfg.models.attn)
+               and all(feedforward_fusible(c)
+                       for c in (e.key, e.query, e.value)))
     fa = cfg.get_path("tpu.fused_attn", "auto")
-    fused = bool(fa) if fa != "auto" else False
-    _, _, embedv, scores = attention_apply(
-        params["attn"], cfg.models.attn, k_feats, q_feats, v_feats,
-        k_extra, q_extra, v_extra, eps=eps, policy=policy, remat=remat,
-        dropout_rng=dropout_rng, fused=fused,
+    if fa == "auto":
+        # Measured on v5e (160x160 patch, 30k pts, k=20, full train step):
+        # unfused 89.0 ms, embed-kernels-only 96.6, score-kernel-only 113.6,
+        # both 92.4. The kernels win in isolation but the XLA glue at the
+        # pallas boundaries (big-tensor layout copies: reshape/slice/pad
+        # ~0.9 ms each over (T*K, 256) bf16) eats the gain, so auto stays
+        # OFF pending the boundary-free k-major layout. Multi-device meshes
+        # always use the unfused path (no GSPMD rule for these kernels).
+        fa = False
+    use_embed_kernel = fusible and fa in (True, "embed")
+    use_score_kernel = fusible and fa in (True, "score")
+    bkg_score = float(cfg.geoms.background.constant)
+    normalize = bool(cfg.models.normalize_topk_attn)
+    attn_cfg = cfg.models.attn
+
+    ek, eq, ev = embed_kqv(
+        params["attn"], attn_cfg, k_feats, q_feats, v_feats,
+        k_extra, q_extra, v_extra, eps=eps, policy=policy,
+        remat=remat and not use_embed_kernel, dropout_rng=dropout_rng,
+        fused=use_embed_kernel,
         fused_interpret=jax.default_backend() != "tpu")
 
+    if use_score_kernel:
+        T = N * H * W
+        attn = fused_scores(
+            ek.reshape(T, k, ek.shape[-1]), eq.reshape(T, eq.shape[-1]),
+            params["attn"]["w_k"]["w"], params["attn"]["w_k"]["bias"],
+            params["attn"]["w_q"]["w"], params["attn"]["w_q"]["bias"],
+            influ.reshape(T, k).astype(jnp.float32),
+            sel_alive.reshape(T, k).astype(jnp.float32),
+            score_act=attn_cfg.score_act, bkg_score=bkg_score,
+            tile=int(cfg.get_path("tpu.fused_tile", 256)),
+            interpret=jax.default_backend() != "tpu",
+            compute=jnp.dtype(policy.compute_dtype).name)
+        attn = attn.reshape(N, H, W, k + 1)
+        # Renormalize + fuse epilogue (models/model.py:533-534): a small
+        # contraction XLA fuses with the surrounding elementwise chain.
+        topk_attn = attn[..., :-1]
+        if normalize:
+            topk_attn = topk_attn / jnp.sum(topk_attn, axis=-1, keepdims=True)
+        fused_f = jnp.sum(ev.astype(jnp.float32) * topk_attn[..., None],
+                          axis=-2)
+        return fused_f, attn, selected, idx
+
+    # XLA score tail (reference models/attn.py:212-226 + model.py:524-534).
+    from ..nn.activations import build_activation
+    from ..nn.mlp import linear_apply
+    kk = linear_apply(params["attn"]["w_k"], ek, policy).astype(jnp.float32)
+    qq = linear_apply(params["attn"]["w_q"], eq, policy).astype(jnp.float32)
+    scores = jnp.sum(qq * kk, axis=-1) / math.sqrt(attn_cfg.d_model)
+    scores = build_activation(attn_cfg.score_act)(scores)
     scores = scores * influ.astype(jnp.float32)
     scores = jnp.where(sel_alive, scores, NEG_BIG)
-    return embedv, scores, selected, idx
+    fused_f, attn = _softmax_fuse(cfg, ev, scores, bkg_score)
+    return fused_f, attn, selected, idx
 
 
 def _softmax_fuse(cfg, embedv, scores, bkg_score: float):
@@ -374,10 +429,8 @@ def forward(params: dict, state: dict, cfg, rays_o, rays_d, c2w=None,
         gamma, beta = mapping_apply(params, cfg, shading_code, policy)
 
     remat = bool(cfg.get_path("tpu.remat_embed", True))
-    embedv, scores, _, _ = _attend(params, state, cfg, rays_o, rays_d, policy,
-                                   remat=remat, dropout_rng=dropout_rng)
-    fused, attn = _softmax_fuse(cfg, embedv, scores,
-                                float(cfg.geoms.background.constant))
+    fused, attn, _, _ = _attend(params, state, cfg, rays_o, rays_d, policy,
+                                remat=remat, dropout_rng=dropout_rng)
     bkg_attn = attn[..., -1:]                                # (N,H,W,1)
 
     if meta.use_renderer:
@@ -399,10 +452,8 @@ def evaluate(params: dict, state: dict, cfg, rays_o, rays_d, c2w=None,
     (N, H, W, 1, C) and attention (N, H, W, K+1, 1); the UNet runs once over
     the gathered full-resolution feature map (train.py:59-70).
     """
-    embedv, scores, selected, _ = _attend(params, state, cfg, rays_o, rays_d,
-                                          policy, remat=False)
-    fused, attn = _softmax_fuse(cfg, embedv, scores,
-                                float(cfg.geoms.background.constant))
+    fused, attn, selected, _ = _attend(params, state, cfg, rays_o, rays_d,
+                                       policy, remat=False)
     out = (fused[..., None, :], attn[..., None])
     if with_selected:
         return out + (selected,)

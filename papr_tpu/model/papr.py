@@ -267,20 +267,43 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
         idx = jnp.stack([sel(rays_o[i], rds[i]) for i in range(N)])
     idx = idx.reshape(N, H, W, k)
 
+    # Fused attention gating (ops/fused_mlp.py embedders and/or the
+    # ops/fused_attn.py score->softmax kernel). tpu.fused_attn:
+    #   True/'auto-on-TPU' = both kernels; 'embed' = embedder kernels only;
+    #   'score' = score kernel only; False = pure XLA (the parity oracle,
+    #   tests/test_fused_attn.py). Any config the kernels don't cover
+    #   (exotic embedder variants, custom score act, dropout, huge K)
+    #   falls back to pure XLA.
+    from ..ops.fused_attn import score_fusible
+    from ..ops.fused_mlp import feedforward_fusible
+    e = cfg.models.attn.embed
+    fusible = (dropout_rng is None and k <= 64
+               and not cfg.geoms.point_feats.use_inq
+               and score_fusible(cfg.models.attn)
+               and all(feedforward_fusible(c)
+                       for c in (e.key, e.query, e.value)))
+    fa = cfg.get_path("tpu.fused_attn", "auto")
+    if fa == "auto":
+        # Measured on v5e (160x160 patch, 30k pts, k=20, full train step):
+        # k-major fused 81.0 ms vs unfused 83.4 — auto is ON for real
+        # single-chip TPU runs. Single-chip only: a multi-device mesh keeps
+        # the unfused XLA path (no GSPMD sharding rule for these
+        # pallas_calls).
+        fa = (fusible and jax.default_backend() == "tpu"
+              and jax.device_count() == 1)
+    use_embed_kernel = fusible and fa in (True, "embed")
+    use_score_kernel = fusible and fa in (True, "score")
+    if use_embed_kernel or use_score_kernel:
+        return _attend_kmaj(params, cfg, meta, idx, rays_o, rays_d,
+                            alive, eps, policy, remat, use_embed_kernel,
+                            use_score_kernel)
+
     # One wide gather instead of three narrow ones: TPU gathers of rows with
     # tiny trailing dims (3/1/64) hit a slow row-DMA path; a single gather of
     # a lane-aligned (P, 128*n) "point record" is bandwidth-optimal.
     pcf = cfg.geoms.point_feats
     pcf_dim = int(pcf.dim) if meta.use_pc_feats else 0
-    rec_parts = [points, params["points_influ_scores"],
-                 alive.astype(jnp.float32)[:, None]]
-    if meta.use_pc_feats:
-        rec_parts.append(params["pc_feats"])
-    rec_width = 3 + 1 + 1 + pcf_dim
-    rec_pad = -(-rec_width // 128) * 128 - rec_width
-    record = jnp.concatenate(rec_parts, axis=1)
-    if rec_pad:
-        record = jnp.pad(record, ((0, 0), (0, rec_pad)))
+    record = _point_record(params, alive, meta, pcf)
     rec = record[idx]                                        # (N,H,W,K,128n)
 
     selected = rec[..., :3]                                  # (N,H,W,K,3)
@@ -304,66 +327,13 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
         if pcf.use_inv:
             v_extra = [gathered]
 
-    # Fused attention path (ops/fused_mlp.py embedders and/or the
-    # ops/fused_attn.py score->softmax kernel): the embed->score pipeline
-    # runs as pallas kernels with custom VJPs, so no (T*K, d_model)
-    # activation or its gradient round-trips HBM. tpu.fused_attn:
-    #   True/'auto-on-TPU' = both kernels; 'embed' = embedder kernels only;
-    #   'score' = score kernel only; False = pure XLA (the parity oracle,
-    #   tests/test_fused_attn.py). Any config the kernels don't cover
-    #   (exotic embedder variants, custom score act, dropout, huge K)
-    #   falls back to pure XLA.
-    from ..ops.fused_attn import fused_scores, score_fusible
-    from ..ops.fused_mlp import feedforward_fusible
-    e = cfg.models.attn.embed
-    fusible = (dropout_rng is None and k <= 64
-               and score_fusible(cfg.models.attn)
-               and all(feedforward_fusible(c)
-                       for c in (e.key, e.query, e.value)))
-    fa = cfg.get_path("tpu.fused_attn", "auto")
-    if fa == "auto":
-        # Measured on v5e (160x160 patch, 30k pts, k=20, full train step):
-        # unfused 89.0 ms, embed-kernels-only 96.6, score-kernel-only 113.6,
-        # both 92.4. The kernels win in isolation but the XLA glue at the
-        # pallas boundaries (big-tensor layout copies: reshape/slice/pad
-        # ~0.9 ms each over (T*K, 256) bf16) eats the gain, so auto stays
-        # OFF pending the boundary-free k-major layout. Multi-device meshes
-        # always use the unfused path (no GSPMD rule for these kernels).
-        fa = False
-    use_embed_kernel = fusible and fa in (True, "embed")
-    use_score_kernel = fusible and fa in (True, "score")
-    bkg_score = float(cfg.geoms.background.constant)
-    normalize = bool(cfg.models.normalize_topk_attn)
     attn_cfg = cfg.models.attn
+    bkg_score = float(cfg.geoms.background.constant)
 
     ek, eq, ev = embed_kqv(
         params["attn"], attn_cfg, k_feats, q_feats, v_feats,
         k_extra, q_extra, v_extra, eps=eps, policy=policy,
-        remat=remat and not use_embed_kernel, dropout_rng=dropout_rng,
-        fused=use_embed_kernel,
-        fused_interpret=jax.default_backend() != "tpu")
-
-    if use_score_kernel:
-        T = N * H * W
-        attn = fused_scores(
-            ek.reshape(T, k, ek.shape[-1]), eq.reshape(T, eq.shape[-1]),
-            params["attn"]["w_k"]["w"], params["attn"]["w_k"]["bias"],
-            params["attn"]["w_q"]["w"], params["attn"]["w_q"]["bias"],
-            influ.reshape(T, k).astype(jnp.float32),
-            sel_alive.reshape(T, k).astype(jnp.float32),
-            score_act=attn_cfg.score_act, bkg_score=bkg_score,
-            tile=int(cfg.get_path("tpu.fused_tile", 256)),
-            interpret=jax.default_backend() != "tpu",
-            compute=jnp.dtype(policy.compute_dtype).name)
-        attn = attn.reshape(N, H, W, k + 1)
-        # Renormalize + fuse epilogue (models/model.py:533-534): a small
-        # contraction XLA fuses with the surrounding elementwise chain.
-        topk_attn = attn[..., :-1]
-        if normalize:
-            topk_attn = topk_attn / jnp.sum(topk_attn, axis=-1, keepdims=True)
-        fused_f = jnp.sum(ev.astype(jnp.float32) * topk_attn[..., None],
-                          axis=-2)
-        return fused_f, attn, selected, idx
+        remat=remat, dropout_rng=dropout_rng, fused=False)
 
     # XLA score tail (reference models/attn.py:212-226 + model.py:524-534).
     from ..nn.activations import build_activation
@@ -376,6 +346,122 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
     scores = jnp.where(sel_alive, scores, NEG_BIG)
     fused_f, attn = _softmax_fuse(cfg, ev, scores, bkg_score)
     return fused_f, attn, selected, idx
+
+
+def _point_record(params, alive, meta, pcf):
+    """Lane-aligned per-point record [xyz, influ, alive, pc_feats?, pad]."""
+    rec_parts = [params["points"], params["points_influ_scores"],
+                 alive.astype(jnp.float32)[:, None]]
+    if meta.use_pc_feats:
+        rec_parts.append(params["pc_feats"])
+    rec_width = 3 + 1 + 1 + (int(pcf.dim) if meta.use_pc_feats else 0)
+    rec_pad = -(-rec_width // 128) * 128 - rec_width
+    record = jnp.concatenate(rec_parts, axis=1)
+    if rec_pad:
+        record = jnp.pad(record, ((0, 0), (0, rec_pad)))
+    return record
+
+
+def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
+                 eps: float, policy: Policy, remat: bool,
+                 use_embed_kernel: bool, use_score_kernel: bool):
+    """Fused attention path in K-MAJOR token order.
+
+    All (tokens, dim) tensors on this path are plain 2D with token order
+    (k, ray): the (K*T, D) embedder outputs view freely as (K, T, D) for the
+    score kernel's leading-dim k slicing, so NO big-tensor layout copy or 5D
+    intermediate exists between the gather and the fusion epilogue (measured
+    ~0.9 ms per (T*K, 256) reshape/slice/pad copy on v5e — the reason the
+    ray-major fused path lost to pure XLA).
+    """
+    from ..nn.activations import build_activation
+    from ..nn.mlp import linear_apply
+    from ..ops.fused_attn import fused_scores
+    from ..ops.geometry import normalize_vector
+
+    N, H, W, _ = rays_d.shape
+    k = idx.shape[-1]
+    T = N * H * W
+    pcf = cfg.geoms.point_feats
+    attn_cfg = cfg.models.attn
+    e = attn_cfg.embed
+    interp = jax.default_backend() != "tpu"
+    bkg_score = float(cfg.geoms.background.constant)
+    normalize = bool(cfg.models.normalize_topk_attn)
+
+    # K-major gather: rec[k, t] is ray t's k-th selected point.
+    record = _point_record(params, alive, meta, pcf)
+    idx_km = idx.reshape(T, k).T                             # (K, T)
+    rec = record[idx_km]                                     # (K, T, 128n)
+    selected = rec[..., :3]                                  # (K, T, 3)
+    influ = rec[..., 3].T                                    # (T, K) (small)
+    sel_alive = rec[..., 4].T > 0.5                          # (T, K)
+
+    # Per-token geometry (ops/geometry.py point_ray_geometry, k-major).
+    rayd_flat = rays_d.reshape(T, 3)
+    rayo_flat = jnp.broadcast_to(rays_o[:, None, :],
+                                 (N, H * W, 3)).reshape(T, 3)
+    rays = normalize_vector(rayd_flat, eps=eps)
+    v = selected - rayo_flat
+    t_along = jnp.sum(v * rays, axis=-1)
+    dd = jnp.sum(rays * rays, axis=-1)
+    proj = rays * (t_along / (dd + eps))[..., None]          # (K, T, 3)
+    perp = v - proj
+
+    flat = lambda x: x.reshape(k * T, x.shape[-1])
+    k_feats = [flat(jax.lax.stop_gradient(selected)), flat(proj), flat(perp)]
+    q_feats = [rayd_flat]
+    v_feats = [flat(proj), flat(perp)]
+    k_extra = q_extra = v_extra = None
+    if meta.use_pc_feats:
+        # use_inq configs are excluded by the gate in _attend (per-point
+        # features into the per-ray query stream don't fit this layout).
+        gathered = flat(rec[..., 5:5 + int(pcf.dim)])
+        if pcf.use_ink:
+            k_extra = [gathered]
+        if pcf.use_inv:
+            v_extra = [gathered]
+
+    ek, eq, ev = embed_kqv(
+        params["attn"], attn_cfg, k_feats, q_feats, v_feats,
+        k_extra, q_extra, v_extra, eps=eps, policy=policy,
+        remat=remat and not use_embed_kernel, dropout_rng=None,
+        fused=use_embed_kernel, fused_interpret=interp)
+    ev3 = ev.reshape(k, T, ev.shape[-1])
+
+    if use_score_kernel:
+        attn = fused_scores(
+            ek.reshape(k, T, ek.shape[-1]), eq,
+            params["attn"]["w_k"]["w"], params["attn"]["w_k"]["bias"],
+            params["attn"]["w_q"]["w"], params["attn"]["w_q"]["bias"],
+            influ.astype(jnp.float32), sel_alive.astype(jnp.float32),
+            score_act=attn_cfg.score_act, bkg_score=bkg_score,
+            tile=int(cfg.get_path("tpu.fused_tile", 256)),
+            interpret=interp,
+            compute=jnp.dtype(policy.compute_dtype).name)           # (T, K+1)
+    else:
+        kk = linear_apply(params["attn"]["w_k"], ek, policy).astype(
+            jnp.float32).reshape(k, T, -1)
+        qq = linear_apply(params["attn"]["w_q"], eq, policy).astype(
+            jnp.float32)
+        raw = jnp.sum(qq[None] * kk, axis=-1) / math.sqrt(attn_cfg.d_model)
+        scores = build_activation(attn_cfg.score_act)(raw).T     # (T, K)
+        scores = scores * influ.astype(jnp.float32)
+        scores = jnp.where(sel_alive, scores, NEG_BIG)
+        allsc = jnp.concatenate(
+            [scores, jnp.full((T, 1), bkg_score, jnp.float32)], axis=-1)
+        attn = jax.nn.softmax(allsc, axis=-1)
+
+    # Renormalize + fuse epilogue (models/model.py:533-534).
+    topk_attn = attn[:, :-1]
+    if normalize:
+        topk_attn = topk_attn / jnp.sum(topk_attn, axis=-1, keepdims=True)
+    fused_f = jnp.einsum("tk,ktc->tc", topk_attn, ev3.astype(jnp.float32))
+
+    fused_f = fused_f.reshape(N, H, W, -1)
+    attn = attn.reshape(N, H, W, k + 1)
+    selected_rm = jnp.moveaxis(selected, 0, 1).reshape(N, H, W, k, 3)
+    return fused_f, attn, selected_rm, idx
 
 
 def _softmax_fuse(cfg, embedv, scores, bkg_score: float):

@@ -1,4 +1,4 @@
-"""Fused score->softmax Pallas kernel with a custom VJP.
+"""Fused score->softmax Pallas kernel with a custom VJP (k-major layout).
 
 The attention tail between the k/q/v embedder outputs and feature fusion:
 
@@ -14,21 +14,23 @@ these stages round-trip (T*K, d_model) tensors through HBM several times per
 step (and again in the backward); worse, the pallas boundary of the fused
 embedder kernels (ops/fused_mlp.py) stops XLA from fusing the chain into the
 surrounding matmuls, which made the embedder kernels a net loss on the full
-step. With this kernel the heavy embed->score pipeline is pallas end-to-end;
-the remaining renormalize+fuse epilogue (models/model.py:533-534) is a tiny
-(T, K, d_v) contraction that XLA fuses fine and keeps its exact unfused
-numerics (including the renormalization semantics).
+step. The renormalize+fuse epilogue (models/model.py:533-534) stays in XLA:
+it is a tiny contraction with exact unfused numerics.
+
+LAYOUT. The key embeddings enter K-MAJOR as (K, T, Dk): token order is
+(k, ray), so the tensor is the plain 2D (K*T, Dk) embedder output viewed 3D
+— a free reshape, because XLA tiles the trailing (T, Dk) dims identically
+in both views when T is a sublane multiple. The kernel slices (tile, Dk)
+planes per k by leading-dim indexing (`ref[k]`), which Mosaic supports with
+no relayout (unlike middle-dim slicing of ray-major (T, K, Dk), which needs
+3D shape casts it rejects). papr.py builds the geometric features k-major
+for the same reason — no big-tensor transpose or layout copy exists
+anywhere on the fused path.
 
 The backward is flash-style: each grid step re-runs the tile's forward in
 VMEM, then walks the chain in reverse, emitting per-token gradients
 (d_embedk/q, d_influ) and accumulating the w_k/w_q/bias gradients in fp32
 VMEM accumulators across the (sequential) TPU grid.
-
-Mosaic on v5e rejects 3D shape casts, so K lives in the LANE dimension: the
-key embeddings enter as (T, K*Dk_pad) with each point's features in a
-128-aligned lane window, and the kernel walks k as a static loop of 2D
-slices. The wrapper pads Dk/Dq to lane multiples with zero columns (and
-zero rows in w_k/w_q, so the padding contributes nothing).
 
 Numerics match attention.py score math: scores and softmax in fp32; the
 w_k/w_q matmuls in the policy compute dtype (bf16 under use_amp) with the
@@ -45,11 +47,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 NEG_BIG = -1e30
-_LANE = 128
-
-
-def _round_up(n, m):
-    return -(-n // m) * m
 
 
 def _row_mask(x, tile, T):
@@ -88,28 +85,25 @@ def _linear(x_cdt, w_ref, b_ref, cdt):
 def _fwd_tile(cfg, ek_ref, eq_ref, influ_ref, alive_ref, wk_ref, bk_ref,
               wq_ref, bq_ref, masked: bool):
     """Shared forward walk -> (qq, sact, influ, alive, attn_fg, attn_bkg)."""
-    (K, Dkp, dm, tile, T, score_act, bkg_score, cdt) = cfg
+    (K, dm, tile, T, score_act, bkg_score, cdt) = cfg
     rsqrt_dm = 1.0 / math.sqrt(dm)
 
-    def load(ref):
-        x = ref[:]
+    def load(x):
         return _row_mask(x, tile, T) if masked else x
 
-    eq = load(eq_ref).astype(cdt)
+    eq = load(eq_ref[:]).astype(cdt)
     qq = _linear(eq, wq_ref, bq_ref, cdt)                       # (R, dm)
 
     raw_cols = []
     for k in range(K):
-        ek = ek_ref[:, k * Dkp:(k + 1) * Dkp]
-        if masked:
-            ek = _row_mask(ek, tile, T)
-        kk = _linear(ek.astype(cdt), wk_ref, bk_ref, cdt)       # (R, dm)
+        ek = load(ek_ref[k]).astype(cdt)                        # (R, Dk)
+        kk = _linear(ek, wk_ref, bk_ref, cdt)                   # (R, dm)
         raw_cols.append(jnp.sum(qq * kk, axis=1, keepdims=True) * rsqrt_dm)
     raw = jnp.concatenate(raw_cols, axis=1)                     # (R, K)
 
     sact = _score_act_fwd(raw, score_act)
-    influ = load(influ_ref).astype(jnp.float32)
-    alive = load(alive_ref) > 0.5
+    influ = load(influ_ref[:]).astype(jnp.float32)
+    alive = load(alive_ref[:]) > 0.5
     s = jnp.where(alive, sact * influ, NEG_BIG)
 
     m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), bkg_score)
@@ -121,7 +115,6 @@ def _fwd_tile(cfg, ek_ref, eq_ref, influ_ref, alive_ref, wk_ref, bk_ref,
 
 def _fwd_kernel(cfg, ek_ref, eq_ref, influ_ref, alive_ref, wk_ref, bk_ref,
                 wq_ref, bq_ref, attn_ref):
-    (_, _, _, _, _, _, _, _) = cfg
     (_, _, _, _, attn_fg, attn_bkg) = _fwd_tile(
         cfg, ek_ref, eq_ref, influ_ref, alive_ref, wk_ref, bk_ref, wq_ref,
         bq_ref, masked=False)
@@ -133,7 +126,7 @@ def _bwd_kernel(cfg, ek_ref, eq_ref, influ_ref, alive_ref, wk_ref, bk_ref,
                 wq_ref, bq_ref, dattn_ref,
                 dek_ref, deq_ref, dinflu_ref, dwk_ref, dbk_ref, dwq_ref,
                 dbq_ref):
-    (K, Dkp, dm, tile, T, score_act, bkg_score, cdt) = cfg
+    (K, dm, tile, T, score_act, bkg_score, cdt) = cfg
     rsqrt_dm = 1.0 / math.sqrt(dm)
     first = pl.program_id(0) == 0
 
@@ -170,7 +163,7 @@ def _bwd_kernel(cfg, ek_ref, eq_ref, influ_ref, alive_ref, wk_ref, bk_ref,
     dwk = jnp.zeros(dwk_ref.shape, jnp.float32)
     dbk = jnp.zeros(dbk_ref.shape, jnp.float32)
     for k in range(K):
-        ek = _row_mask(ek_ref[:, k * Dkp:(k + 1) * Dkp], tile, T).astype(cdt)
+        ek = _row_mask(ek_ref[k], tile, T).astype(cdt)
         kk = _linear(ek, wk_ref, bk_ref, cdt)
         dr = d_raw[:, k:k + 1]
         dkk = dr * qq                                            # (R, dm)
@@ -178,7 +171,7 @@ def _bwd_kernel(cfg, ek_ref, eq_ref, influ_ref, alive_ref, wk_ref, bk_ref,
         dkk_c = dkk.astype(cdt)
         dek = jax.lax.dot_general(dkk_c, wk_ref[:], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        dek_ref[:, k * Dkp:(k + 1) * Dkp] = dek.astype(dek_ref.dtype)
+        dek_ref[k] = dek.astype(dek_ref.dtype)
         dwk += jax.lax.dot_general(ek, dkk_c, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         dbk += jnp.sum(dkk, axis=0, keepdims=True)
@@ -203,42 +196,24 @@ def _cdt_of(x, compute):
     return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
 
-def _pad_lanes(x, to):
-    if x.shape[-1] == to:
-        return x
-    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, to - x.shape[-1])])
+def _prep(wk, bk, wq, bq, cdt):
+    """Transpose score projections to (in, out) and cast."""
+    return (wk.astype(cdt).T, bk.astype(jnp.float32)[None, :],
+            wq.astype(cdt).T, bq.astype(jnp.float32)[None, :])
 
 
-def _prep(embedk, embedq, wk, bk, wq, bq, cdt):
-    """(T, K, Dk) -> (T, K*Dkp) lane-aligned; project weights to match.
-
-    Zero lane-padding of the embeddings plus zero row-padding of the (in,
-    out)-transposed projections keeps the matmuls exact.
-    """
-    T, K, Dk = embedk.shape
-    Dq = embedq.shape[-1]
-    Dkp = _round_up(Dk, _LANE)
-    Dqp = _round_up(Dq, _LANE)
-    ekp = _pad_lanes(embedk, Dkp).reshape(T, K * Dkp)
-    eqp = _pad_lanes(embedq, Dqp)
-    wkT = _pad_lanes(wk.astype(cdt), Dkp).T      # (Dkp, dm)
-    wqT = _pad_lanes(wq.astype(cdt), Dqp).T      # (Dqp, dm)
-    return (ekp, eqp, wkT, bk.astype(jnp.float32)[None, :], wqT,
-            bq.astype(jnp.float32)[None, :], Dkp, Dqp)
-
-
-def _specs(T, K, Dkp, Dqp, dm, tile):
+def _specs(K, Dk, Dq, dm, tile):
     const = lambda t: (0, 0)
     row = lambda t: (t, 0)
     in_specs = [
-        pl.BlockSpec((tile, K * Dkp), row),      # embedk (lane-packed)
-        pl.BlockSpec((tile, Dqp), row),          # embedq
-        pl.BlockSpec((tile, K), row),            # influ
-        pl.BlockSpec((tile, K), row),            # alive
-        pl.BlockSpec((Dkp, dm), const),          # wkT
-        pl.BlockSpec((1, dm), const),            # bk
-        pl.BlockSpec((Dqp, dm), const),          # wqT
-        pl.BlockSpec((1, dm), const),            # bq
+        pl.BlockSpec((K, tile, Dk), lambda t: (0, t, 0)),  # embedk (k-major)
+        pl.BlockSpec((tile, Dq), row),                     # embedq
+        pl.BlockSpec((tile, K), row),                      # influ
+        pl.BlockSpec((tile, K), row),                      # alive
+        pl.BlockSpec((Dk, dm), const),                     # wkT
+        pl.BlockSpec((1, dm), const),                      # bk
+        pl.BlockSpec((Dq, dm), const),                     # wqT
+        pl.BlockSpec((1, dm), const),                      # bq
     ]
     return in_specs, const, row
 
@@ -250,7 +225,8 @@ def fused_scores(embedk, embedq, wk, bk, wq, bq, influ, alive,
     """Fused attention scores. See module docstring.
 
     Args:
-      embedk: (T, K, Dk) key embeddings (embedder output).
+      embedk: (K, T, Dk) key embeddings, K-MAJOR token order (the embedder
+        output over k-major tokens viewed 3D; a free reshape).
       embedq: (T, Dq) query embeddings.
       wk/bk, wq/bq: score projections, torch layout w=(d_model, D).
       influ: (T, K) fp32 influence scores (gathered per selection).
@@ -265,14 +241,14 @@ def fused_scores(embedk, embedq, wk, bk, wq, bq, influ, alive,
 
 def _fs_fwd(embedk, embedq, wk, bk, wq, bq, influ, alive, score_act,
             bkg_score, tile, interpret, compute):
-    T, K, Dk = embedk.shape
+    K, T, Dk = embedk.shape
+    Dq = embedq.shape[-1]
     dm = wk.shape[0]
     tile = min(tile, max(8, T))
     cdt = _cdt_of(embedk, compute)
-    ekp, eqp, wkT, bk2, wqT, bq2, Dkp, Dqp = _prep(embedk, embedq, wk, bk,
-                                                   wq, bq, cdt)
-    cfg = (K, Dkp, dm, tile, T, score_act, float(bkg_score), cdt)
-    in_specs, const, row = _specs(T, K, Dkp, Dqp, dm, tile)
+    wkT, bk2, wqT, bq2 = _prep(wk, bk, wq, bq, cdt)
+    cfg = (K, dm, tile, T, score_act, float(bkg_score), cdt)
+    in_specs, const, row = _specs(K, Dk, Dq, dm, tile)
     alive_f = alive.astype(jnp.float32)
 
     attn = pl.pallas_call(
@@ -282,41 +258,40 @@ def _fs_fwd(embedk, embedq, wk, bk, wq, bq, influ, alive, score_act,
         out_specs=pl.BlockSpec((tile, K + 1), row),
         out_shape=jax.ShapeDtypeStruct((T, K + 1), jnp.float32),
         interpret=interpret,
-    )(ekp, eqp, influ, alive_f, wkT, bk2, wqT, bq2)
+    )(embedk, embedq, influ, alive_f, wkT, bk2, wqT, bq2)
     return attn, (embedk, embedq, wk, bk, wq, bq, influ, alive)
 
 
 def _fs_bwd(score_act, bkg_score, tile, interpret, compute, res, dattn):
     embedk, embedq, wk, bk, wq, bq, influ, alive = res
-    T, K, Dk = embedk.shape
+    K, T, Dk = embedk.shape
     Dq = embedq.shape[-1]
     dm = wk.shape[0]
     # The backward holds d_embedk/d_w accumulators on top of the forward's
     # working set; half the forward tile keeps it inside the 16MB VMEM.
     tile = min(max(8, tile // 2), max(8, T))
     cdt = _cdt_of(embedk, compute)
-    ekp, eqp, wkT, bk2, wqT, bq2, Dkp, Dqp = _prep(embedk, embedq, wk, bk,
-                                                   wq, bq, cdt)
-    cfg = (K, Dkp, dm, tile, T, score_act, float(bkg_score), cdt)
-    in_specs, const, row = _specs(T, K, Dkp, Dqp, dm, tile)
+    wkT, bk2, wqT, bq2 = _prep(wk, bk, wq, bq, cdt)
+    cfg = (K, dm, tile, T, score_act, float(bkg_score), cdt)
+    in_specs, const, row = _specs(K, Dk, Dq, dm, tile)
     alive_f = alive.astype(jnp.float32)
 
     out_specs = [
-        pl.BlockSpec((tile, K * Dkp), row),      # d_embedk (lane-packed)
-        pl.BlockSpec((tile, Dqp), row),          # d_embedq
-        pl.BlockSpec((tile, K), row),            # d_influ
-        pl.BlockSpec((Dkp, dm), const),          # d_wkT (accumulated)
-        pl.BlockSpec((1, dm), const),            # d_bk
-        pl.BlockSpec((Dqp, dm), const),          # d_wqT
-        pl.BlockSpec((1, dm), const),            # d_bq
+        pl.BlockSpec((K, tile, Dk), lambda t: (0, t, 0)),  # d_embedk
+        pl.BlockSpec((tile, Dq), row),                     # d_embedq
+        pl.BlockSpec((tile, K), row),                      # d_influ
+        pl.BlockSpec((Dk, dm), const),                     # d_wkT (accum)
+        pl.BlockSpec((1, dm), const),                      # d_bk
+        pl.BlockSpec((Dq, dm), const),                     # d_wqT
+        pl.BlockSpec((1, dm), const),                      # d_bq
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((T, K * Dkp), embedk.dtype),
-        jax.ShapeDtypeStruct((T, Dqp), embedq.dtype),
+        jax.ShapeDtypeStruct((K, T, Dk), embedk.dtype),
+        jax.ShapeDtypeStruct((T, Dq), embedq.dtype),
         jax.ShapeDtypeStruct((T, K), jnp.float32),
-        jax.ShapeDtypeStruct((Dkp, dm), jnp.float32),
+        jax.ShapeDtypeStruct((Dk, dm), jnp.float32),
         jax.ShapeDtypeStruct((1, dm), jnp.float32),
-        jax.ShapeDtypeStruct((Dqp, dm), jnp.float32),
+        jax.ShapeDtypeStruct((Dq, dm), jnp.float32),
         jax.ShapeDtypeStruct((1, dm), jnp.float32),
     ]
 
@@ -327,14 +302,12 @@ def _fs_bwd(score_act, bkg_score, tile, interpret, compute, res, dattn):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(ekp, eqp, influ, alive_f, wkT, bk2, wqT, bq2, dattn)
+    )(embedk, embedq, influ, alive_f, wkT, bk2, wqT, bq2, dattn)
 
-    dekp, deqp, dinflu, dwkT, dbk, dwqT, dbq = outs
-    dek = dekp.reshape(T, K, Dkp)[..., :Dk].astype(embedk.dtype)
-    deq = deqp[:, :Dq].astype(embedq.dtype)
+    dek, deq, dinflu, dwkT, dbk, dwqT, dbq = outs
     return (dek, deq,
-            dwkT[:Dk].T.astype(wk.dtype), dbk[0].astype(bk.dtype),
-            dwqT[:Dq].T.astype(wq.dtype), dbq[0].astype(bq.dtype),
+            dwkT.T.astype(wk.dtype), dbk[0].astype(bk.dtype),
+            dwqT.T.astype(wq.dtype), dbq[0].astype(bq.dtype),
             dinflu.astype(influ.dtype), jnp.zeros_like(alive))
 
 

@@ -8,19 +8,23 @@ mean direction c. For a point p with v = p - o, alpha = angle(v, c):
 so per tile every ray's point distance is bracketed by
 
     LB = |v| * min(sin(alpha-delta), sin(alpha+delta))   (0 if alpha < delta)
-    UB = |v| * max(...)                                  (|v| if pi/2 inside)
 
 Soundness: for any ray r in the tile and any point p in r's exact top-k,
-dist_r(p) <= kth_r <= kappa := k-th smallest UB, and LB_p <= dist_r(p), hence
-LB_p <= kappa. Keeping every point with LB <= kappa therefore preserves all
-exact winners. The M-candidate cap (tpu.cull_candidates) truncates by
-smallest LB; overflow beyond M is the only approximation (plus the pack
-quantization shared with ops/pallas_topk.py).
+LB_p <= dist_r(p), so ranking points by LB and keeping the M smallest keeps
+every exact winner whenever at most M points can beat it in lower bound.
+(An earlier revision also computed UB and an admissibility threshold
+kappa = k-th smallest UB; since admissible == {LB <= kappa} is itself a
+smallest-LB prefix, taking the M smallest LB directly selects the same
+candidate superset — and drops one (T,P) lax.top_k (a full sort on TPU,
+~2.8 ms + pad fusions at 30k pts) plus the UB bound math per step.)
+The M-candidate cap (tpu.cull_candidates) truncates by smallest LB;
+overflow beyond M is the only approximation (plus the pack quantization
+shared with ops/pallas_topk.py).
 
 Pipeline:
   1. (XLA) per tile: center ray, cos(delta); bounds via one (T,3)x(3,P)
-     matmul; kappa via lax.top_k over (T,P) — T is ~256x smaller than R;
-     candidates = M smallest LB per tile.
+     matmul; candidates = M smallest LB per tile (one lax.top_k over (T,P)
+     — T is ~256x smaller than R).
   2. (XLA) gather candidate records (v, |v|^2) -> (T, M, 8).
   3. (Pallas) per tile: exact distances to the tile's own rays over M
      candidates, pack-min-extract top-k (same loop as pallas_topk, ~P/M
@@ -162,41 +166,33 @@ def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
     sd, cd = sind[:, None], cosd[:, None]
     sin_lo = sin_a * cd - cos_a * sd                     # sin(alpha - delta)
     sin_hi = sin_a * cd + cos_a * sd                     # sin(alpha + delta)
-    cos_lo = cos_a * cd + sin_a * sd                     # cos(alpha - delta)
-    cos_hi = cos_a * cd - sin_a * sd                     # cos(alpha + delta)
 
     crosses_zero = cos_a > cd                            # alpha < delta
     crosses_pi = cos_a < -cd                             # alpha > pi - delta
     lb_sin = jnp.where(crosses_zero | crosses_pi, 0.0,
                        jnp.minimum(jnp.abs(sin_lo), jnp.abs(sin_hi)))
-    crosses_mid = (cos_lo >= 0) & (cos_hi <= 0)          # pi/2 in range
-    ub_sin = jnp.where(crosses_mid, 1.0, jnp.maximum(sin_lo, sin_hi))
 
     LB = vnorm[None, :] * lb_sin
-    UB = vnorm[None, :] * ub_sin
     dead = ~alive
     LB = jnp.where(dead[None, :], jnp.inf, LB)
-    UB = jnp.where(dead[None, :], jnp.inf, UB)
 
-    kth_ub = -jax.lax.top_k(-UB, k)[0][:, -1:]           # (T, 1) kappa
-    admissible = LB <= kth_ub
-    cand_key = jnp.where(admissible, LB, jnp.inf)
     take = min(Mp, points.shape[0])
-    _, cand_idx = jax.lax.top_k(-cand_key, take)         # (T, take) smallest LB
-    cand_valid = jnp.take_along_axis(admissible, cand_idx, axis=1)
+    _, cand_idx = jax.lax.top_k(-LB, take)               # (T, take) smallest LB
     if take < Mp:                                        # tiny clouds: pad
         pad = Mp - take
         cand_idx = jnp.pad(cand_idx, ((0, 0), (0, pad)))
-        cand_valid = jnp.pad(cand_valid, ((0, 0), (0, pad)))
 
     # ---- stage 2: candidate records -------------------------------------
     rec = jnp.concatenate([v.T, vnorm2[None, :] +
                            jnp.where(alive, 0.0, jnp.inf)[None, :],
                            jnp.zeros((4, points.shape[0]))], axis=0)  # (8, P)
     recs = rec[:, cand_idx.reshape(-1)].reshape(8, T, Mp).transpose(1, 0, 2)
-    # invalidate slots beyond the admissible set
-    recs = recs.at[:, 3, :].set(
-        jnp.where(cand_valid, recs[:, 3, :], jnp.inf))
+    if take < Mp:
+        # pad slots alias index 0: kill their distance so the exact top-k
+        # in stage 3 can never select a duplicate
+        lane = jnp.arange(Mp)[None, :]
+        recs = recs.at[:, 3, :].set(
+            jnp.where(lane >= take, jnp.inf, recs[:, 3, :]))
 
     # per-ray scale factor f
     flat = tiles.reshape(T * RAY_TILE, 3)

@@ -17,11 +17,14 @@ NEG_BIG = -1e30
 
 
 def _ref(ek, eq, wk, bk, wq, bq, influ, alive, score_act="relu", bkg=5.0):
-    """Pure-XLA reference: attention.py score math + papr.py softmax."""
+    """Pure-XLA reference: attention.py score math + papr.py softmax.
+
+    ek is K-major (K, T, Dk) like the kernel input; influ/alive are (T, K).
+    """
     dm = wk.shape[0]
-    kk = jnp.einsum("tkd,md->tkm", ek, wk) + bk
+    kk = jnp.einsum("ktd,md->ktm", ek, wk) + bk
     qq = jnp.einsum("td,md->tm", eq, wq) + bq
-    raw = jnp.einsum("tkm,tm->tk", kk, qq) / math.sqrt(dm)
+    raw = jnp.einsum("ktm,tm->tk", kk, qq) / math.sqrt(dm)
     s = jnp.maximum(raw, 0.0) if score_act == "relu" else raw
     s = s * influ
     s = jnp.where(alive > 0.5, s, NEG_BIG)
@@ -31,7 +34,7 @@ def _ref(ek, eq, wk, bk, wq, bq, influ, alive, score_act="relu", bkg=5.0):
 
 def _inputs(key, T, K, Dk=48, Dq=40, dm=32, dead_frac=0.2):
     ks = jax.random.split(key, 8)
-    ek = jax.random.normal(ks[0], (T, K, Dk), jnp.float32)
+    ek = jax.random.normal(ks[0], (K, T, Dk), jnp.float32)
     eq = jax.random.normal(ks[1], (T, Dq), jnp.float32)
     wk = jax.random.normal(ks[2], (dm, Dk)) / np.sqrt(Dk)
     bk = jax.random.normal(ks[3], (dm,)) * 0.1
@@ -64,7 +67,7 @@ def test_forward_matches_reference(T, K, tile, act, Dk):
 ])
 def test_gradients_match_reference(T, K, tile):
     args = _inputs(jax.random.PRNGKey(1), T, K)
-    ev = jax.random.normal(jax.random.PRNGKey(2), (T, K, 16))
+    ev = jax.random.normal(jax.random.PRNGKey(2), (K, T, 16))
     tgt_f = jax.random.normal(jax.random.PRNGKey(3), (T, 16))
     tgt_a = jax.random.normal(jax.random.PRNGKey(4), (T, 1))
 
@@ -75,7 +78,7 @@ def test_gradients_match_reference(T, K, tile):
         # and the bkg-attn column used by compositing.
         topk = attn[:, :-1]
         topk = topk / jnp.sum(topk, axis=-1, keepdims=True)
-        fused = jnp.einsum("tk,tkc->tc", topk, ev)
+        fused = jnp.einsum("tk,ktc->tc", topk, ev)
         return jnp.mean((fused - tgt_f) ** 2) + \
             jnp.mean((attn[:, -1:] - tgt_a) ** 2)
 

@@ -188,12 +188,13 @@ def _pe_bwd(g, pe_saved, S):
 
 # --------------------------------------------------------------- kernels ----
 
-def _recompute(cfg, x_ref, pe_refs, w_refs, b_refs, ln_refs):
-    """Shared fwd walk; returns per-stage values needed by both passes."""
+def walk_fwd(cfg, xf, pe_refs, w_refs, b_refs, ln_refs):
+    """Embedder-block forward on an in-VMEM fp32 tile ``xf`` (rows,
+    d_in_pad), already masked by the caller. Returns per-stage values needed
+    by the backward. Shared with the mega attention kernel
+    (ops/fused_attn.py)."""
     (n, act, last_act, cdt, d_raw, d_enc, d_out, T, tile, has_pe, has_li,
      has_lo, eps) = cfg
-    x = _row_mask_fix(_zero_lanes(x_ref[:], d_raw), tile, T)
-    xf = x.astype(jnp.float32)
     pe = None
     if has_pe:
         xf, pe = _pe_stage(xf, pe_refs[0][:], pe_refs[1][:])
@@ -219,6 +220,51 @@ def _recompute(cfg, x_ref, pe_refs, w_refs, b_refs, ln_refs):
     else:
         y = z
     return y, hs, pe, li, lo
+
+
+def walk_bwd(cfg, g, hs, pe, li, lo, pe_refs, w_refs, accum):
+    """Reverse walk matching walk_fwd: upstream g (rows, d_out_pad) fp32,
+    zero on pad lanes/rows. ``accum(kind, i, val)`` accumulates parameter
+    grads (kind in {'w','b','ln'}; for 'ln' i indexes the a/b refs in
+    order). Returns d_x (rows, d_in_pad) fp32."""
+    (n, act, last_act, cdt, d_raw, d_enc, d_out, T, tile, has_pe, has_li,
+     has_lo, eps) = cfg
+    if has_lo:
+        d_o, r_o, h_o, a_out = lo
+        g, da_o, db_o = _ln_bwd(g, d_o, r_o, h_o, a_out, d_out, eps)
+        k = 2 if has_li else 0
+        accum("ln", k, da_o)
+        accum("ln", k + 1, db_o)
+
+    for i in reversed(range(n)):
+        kind = last_act if i == n - 1 else act
+        mask = _act_mask(hs[i + 1], kind)
+        dz = g * mask if mask is not None else g
+        dz_c = dz.astype(cdt)
+        dw = jax.lax.dot_general(hs[i], dz_c, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        accum("w", i, dw)
+        accum("b", i, jnp.sum(dz, axis=0, keepdims=True))
+        g = jax.lax.dot_general(dz_c, w_refs[i][:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    if has_li:
+        d_i, r_i, h_i, a_in = li
+        g, da_i, db_i = _ln_bwd(g, d_i, r_i, h_i, a_in, d_enc, eps)
+        accum("ln", 0, da_i)
+        accum("ln", 1, db_i)
+    if has_pe:
+        g = _pe_bwd(g, pe, pe_refs[0][:])
+    return g
+
+
+def _recompute(cfg, x_ref, pe_refs, w_refs, b_refs, ln_refs):
+    """Shared fwd walk; returns per-stage values needed by both passes."""
+    (n, act, last_act, cdt, d_raw, d_enc, d_out, T, tile, has_pe, has_li,
+     has_lo, eps) = cfg
+    x = _row_mask_fix(_zero_lanes(x_ref[:], d_raw), tile, T)
+    return walk_fwd(cfg, x.astype(jnp.float32), pe_refs, w_refs, b_refs,
+                    ln_refs)
 
 
 def _split_refs(cfg, refs):
@@ -264,32 +310,12 @@ def _bwd_kernel(cfg, x_ref, dy_ref, *refs):
 
     g = _row_mask_fix(_zero_lanes(dy_ref[:], d_out), tile, T)
     g = g.astype(jnp.float32)
-    if has_lo:
-        d_o, r_o, h_o, a_out = lo
-        g, da_o, db_o = _ln_bwd(g, d_o, r_o, h_o, a_out, d_out, eps)
-        k = 2 if has_li else 0
-        accum(dln_refs[k], da_o)
-        accum(dln_refs[k + 1], db_o)
 
-    for i in reversed(range(n)):
-        kind = last_act if i == n - 1 else act
-        mask = _act_mask(hs[i + 1], kind)
-        dz = g * mask if mask is not None else g
-        dz_c = dz.astype(cdt)
-        dw = jax.lax.dot_general(hs[i], dz_c, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        accum(dw_refs[i], dw)
-        accum(db_refs[i], jnp.sum(dz, axis=0, keepdims=True))
-        g = jax.lax.dot_general(dz_c, w_refs[i][:], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    def acc(kind, i, val):
+        ref = {"w": dw_refs, "b": db_refs, "ln": dln_refs}[kind][i]
+        accum(ref, val)
 
-    if has_li:
-        d_i, r_i, h_i, a_in = li
-        g, da_i, db_i = _ln_bwd(g, d_i, r_i, h_i, a_in, d_enc, eps)
-        accum(dln_refs[0], da_i)
-        accum(dln_refs[1], db_i)
-    if has_pe:
-        g = _pe_bwd(g, pe, pe_refs[0][:])
+    g = walk_bwd(cfg, g, hs, pe, li, lo, pe_refs, w_refs, acc)
     dx_ref[:] = g.astype(dx_ref.dtype)
 
 

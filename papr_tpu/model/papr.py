@@ -285,18 +285,19 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
     fa = cfg.get_path("tpu.fused_attn", "auto")
     if fa == "auto":
         # Measured on v5e (160x160 patch, 30k pts, k=20, full train step):
-        # k-major fused 81.0 ms vs unfused 83.4 — auto is ON for real
-        # single-chip TPU runs. Single-chip only: a multi-device mesh keeps
-        # the unfused XLA path (no GSPMD sharding rule for these
-        # pallas_calls).
-        fa = (fusible and jax.default_backend() == "tpu"
-              and jax.device_count() == 1)
+        # streamed key kernel 76.8 ms vs split kernels 81.0 vs unfused
+        # 83.4 — auto is 'stream' for real single-chip TPU runs.
+        # Single-chip only: a multi-device mesh keeps the unfused XLA path
+        # (no GSPMD sharding rule for these pallas_calls).
+        fa = ("stream" if (fusible and jax.default_backend() == "tpu"
+                           and jax.device_count() == 1) else False)
+    use_stream = fusible and fa == "stream"
     use_embed_kernel = fusible and fa in (True, "embed")
     use_score_kernel = fusible and fa in (True, "score")
-    if use_embed_kernel or use_score_kernel:
+    if use_stream or use_embed_kernel or use_score_kernel:
         return _attend_kmaj(params, cfg, meta, idx, rays_o, rays_d,
                             alive, eps, policy, remat, use_embed_kernel,
-                            use_score_kernel)
+                            use_score_kernel, use_stream)
 
     # One wide gather instead of three narrow ones: TPU gathers of rows with
     # tiny trailing dims (3/1/64) hit a slow row-DMA path; a single gather of
@@ -364,7 +365,8 @@ def _point_record(params, alive, meta, pcf):
 
 def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                  eps: float, policy: Policy, remat: bool,
-                 use_embed_kernel: bool, use_score_kernel: bool):
+                 use_embed_kernel: bool, use_score_kernel: bool,
+                 use_stream: bool = False):
     """Fused attention path in K-MAJOR token order.
 
     All (tokens, dim) tensors on this path are plain 2D with token order
@@ -425,11 +427,42 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
     ek, eq, ev = embed_kqv(
         params["attn"], attn_cfg, k_feats, q_feats, v_feats,
         k_extra, q_extra, v_extra, eps=eps, policy=policy,
-        remat=remat and not use_embed_kernel, dropout_rng=None,
-        fused=use_embed_kernel, fused_interpret=interp)
+        remat=remat and not (use_embed_kernel or use_stream),
+        dropout_rng=None, fused=use_embed_kernel or use_stream,
+        fused_interpret=interp, skip_k=use_stream)
     ev3 = ev.reshape(k, T, ev.shape[-1])
 
-    if use_score_kernel:
+    if use_stream:
+        # Streamed key-attention kernel (ops/stream_attn.py): the key
+        # embedder walks + score projection + softmax run per (ray-tile, k)
+        # slice with no HBM-materialized key embeddings; the query chain
+        # (qq) composes via autodiff through the fused query embedder.
+        from ..ops.fused_mlp import _ff_lns
+        from ..ops.stream_attn import key_stream_scores
+        qq = linear_apply(params["attn"]["w_q"], eq, policy).astype(
+            jnp.float32)
+        kx_parts = [jax.lax.stop_gradient(selected), proj, perp]
+        extra_dim = 0
+        if k_extra is not None:
+            kx_parts.append(rec[..., 5:5 + int(pcf.dim)])
+            extra_dim = int(pcf.dim)
+        xk = jnp.concatenate([p.astype(jnp.float32) for p in kx_parts],
+                             axis=-1)                       # (K, T, d_raw)
+        pe_desc = ((3, 3, 3), tuple(int(l) for l in e.k_L),
+                   int(e.embed_type), float(e.pe_factor),
+                   float(e.pe_mult_factor), extra_dim)
+        kp = params["attn"]["embed_k"]
+        kws = tuple(l["w"].T for l in kp["mlp"]["layers"])
+        kbs = tuple(l["bias"] for l in kp["mlp"]["layers"])
+        kln_in, kln_out = _ff_lns(kp)
+        attn = key_stream_scores(
+            xk, qq, kws, kbs, kln_in, kln_out,
+            params["attn"]["w_k"]["w"], params["attn"]["w_k"]["bias"],
+            influ.astype(jnp.float32), sel_alive.astype(jnp.float32),
+            pe_desc, e.key.ff_act, e.key.ff_last_act, attn_cfg.score_act,
+            bkg_score, int(cfg.get_path("tpu.fused_tile", 256)), interp,
+            jnp.dtype(policy.compute_dtype).name)           # (T, K+1)
+    elif use_score_kernel:
         attn = fused_scores(
             ek.reshape(k, T, ek.shape[-1]), eq,
             params["attn"]["w_k"]["w"], params["attn"]["w_k"]["bias"],

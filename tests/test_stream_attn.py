@@ -1,0 +1,193 @@
+"""Streamed key-attention kernel (ops/stream_attn.py) vs the unfused XLA
+math — forward and gradients, kernel-level and model-level, fp32 and bf16."""
+
+import math
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+from papr_tpu.config import load_config
+from papr_tpu.model.attention import _encode
+from papr_tpu.nn.mlp import F32, feedforward_apply, feedforward_init
+from papr_tpu.ops.fused_mlp import _ff_lns
+from papr_tpu.ops.stream_attn import key_stream_scores
+
+NEG_BIG = -1e30
+
+LS = (2, 2, 2)
+PE = (2.0, 1.0)  # pe_factor, pe_mult_factor
+
+
+def _ff_cfg(d_ff, d_out, n_layer, norm):
+    cfg = load_config(overrides={"models": {"attn": {"embed": {"key": {
+        "d_ff": d_ff, "d_ff_out": d_out, "n_ff_layer": n_layer,
+        "norm": norm}}}}})
+    return cfg.models.attn.embed.key
+
+
+def _setup(key, T, K, d_ff=32, d_out=32, n_layer=3, dm=16, norm="none"):
+    ks = jax.random.split(key, 6)
+    ff_cfg = _ff_cfg(d_ff, d_out, n_layer, norm)
+    d_in = sum(3 + 3 * 2 * l for l in LS)   # embed_type 1
+    ff = feedforward_init(ks[0], d_in, d_out, ff_cfg)
+    xk = jax.random.normal(ks[1], (K, T, 9), jnp.float32)
+    qq = jax.random.normal(ks[2], (T, dm), jnp.float32)
+    wk = jax.random.normal(ks[3], (dm, d_out)) / np.sqrt(d_out)
+    bk = jax.random.normal(ks[4], (dm,)) * 0.1
+    influ = jax.random.normal(ks[5], (T, K)) * 0.5 + 1.0
+    alive = (jax.random.uniform(ks[0], (T, K)) > 0.2).astype(jnp.float32)
+    return ff_cfg, ff, xk, qq, wk, bk, influ, alive
+
+
+def _ref(ff_cfg, ff, xk, qq, wk, bk, influ, alive, score_act="relu",
+         bkg=5.0):
+    """Unfused oracle: nn posenc + feedforward + score + bkg softmax."""
+    feats = [xk[..., 0:3], xk[..., 3:6], xk[..., 6:9]]
+    enc = _encode(feats, LS, 1, PE[0], PE[1], None)
+    ek = feedforward_apply(ff, enc, ff_cfg, ff_cfg.d_ff_out, 1e-6, F32)
+    kk = jnp.einsum("ktd,md->ktm", ek, wk) + bk
+    raw = jnp.einsum("ktm,tm->tk", kk.astype(jnp.float32), qq) \
+        / math.sqrt(wk.shape[0])
+    s = jnp.maximum(raw, 0.0) if score_act == "relu" else raw
+    s = s * influ
+    s = jnp.where(alive > 0.5, s, NEG_BIG)
+    allsc = jnp.concatenate([s, jnp.full(s.shape[:-1] + (1,), bkg)], -1)
+    return jax.nn.softmax(allsc, axis=-1)
+
+
+def _stream(ff_cfg, ff, xk, qq, wk, bk, influ, alive, score_act="relu",
+            bkg=5.0, tile=32, compute=None):
+    ws = tuple(l["w"].T for l in ff["mlp"]["layers"])
+    bs = tuple(l["bias"] for l in ff["mlp"]["layers"])
+    ln_in, ln_out = _ff_lns(ff)
+    pe_desc = ((3, 3, 3), LS, 1, PE[0], PE[1], 0)
+    return key_stream_scores(
+        xk, qq, ws, bs, ln_in, ln_out, wk, bk, influ, alive, pe_desc,
+        ff_cfg.ff_act, ff_cfg.ff_last_act, score_act, bkg, tile, True,
+        compute)
+
+
+@pytest.mark.parametrize("T,K,tile,norm", [
+    (64, 7, 32, "none"),
+    (100, 5, 32, "layernorm"),       # overhang rows (100 % 32 != 0)
+    (40, 1, 40, "none"),             # K=1: first and last k step coincide
+    (48, 11, 16, "layernorm"),
+])
+def test_forward_matches_reference(T, K, tile, norm):
+    a = _setup(jax.random.PRNGKey(0), T, K, norm=norm)
+    got = _stream(*a, tile=tile)
+    want = _ref(*a)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("T,K,tile,norm", [
+    (64, 6, 32, "layernorm"),
+    (90, 5, 32, "none"),             # overhang rows exercise dW row-masking
+])
+def test_gradients_match_reference(T, K, tile, norm):
+    ff_cfg, ff, xk, qq, wk, bk, influ, alive = _setup(
+        jax.random.PRNGKey(1), T, K, norm=norm)
+    ev = jax.random.normal(jax.random.PRNGKey(2), (K, T, 8))
+    tgt_f = jax.random.normal(jax.random.PRNGKey(3), (T, 8))
+    tgt_a = jax.random.normal(jax.random.PRNGKey(4), (T, 1))
+
+    def loss(attn_fn, ff, xk, qq, wk, bk, influ):
+        attn = attn_fn(ff_cfg, ff, xk, qq, wk, bk, influ, alive)
+        topk = attn[:, :-1]
+        topk = topk / jnp.sum(topk, axis=-1, keepdims=True)
+        fused = jnp.einsum("tk,ktc->tc", topk, ev)
+        return jnp.mean((fused - tgt_f) ** 2) + \
+            jnp.mean((attn[:, -1:] - tgt_a) ** 2)
+
+    st = lambda *a_: _stream(*a_, tile=tile)
+    argnums = tuple(range(6))
+    gf = jax.grad(lambda *a_: loss(st, *a_), argnums)(
+        ff, xk, qq, wk, bk, influ)
+    gr = jax.grad(lambda *a_: loss(_ref, *a_), argnums)(
+        ff, xk, qq, wk, bk, influ)
+    for name, a_, b_ in zip(["ff", "xk", "qq", "wk", "bk", "influ"], gf, gr):
+        for la, lb in zip(jax.tree.leaves(a_), jax.tree.leaves(b_)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=3e-4, atol=1e-6, err_msg=name)
+
+
+def test_all_dead_ray_attn():
+    a = list(_setup(jax.random.PRNGKey(4), 8, 5))
+    alive = np.ones((8, 5), np.float32)
+    alive[3] = 0.0
+    a[7] = jnp.asarray(alive)
+    attn = np.asarray(_stream(*a, tile=8))
+    assert np.isfinite(attn).all()
+    np.testing.assert_allclose(attn[3, -1], 1.0, atol=1e-6)
+    np.testing.assert_allclose(attn[3, :-1], 0.0, atol=1e-6)
+
+
+def test_bf16_compute_close_to_fp32():
+    a = _setup(jax.random.PRNGKey(5), 64, 6)
+    f32 = _stream(*a, tile=32)
+    b16 = _stream(*a, tile=32, compute="bfloat16")
+    np.testing.assert_allclose(np.asarray(b16), np.asarray(f32),
+                               rtol=5e-2, atol=2e-2)
+
+
+# ------------------------------------------------------------ model level ----
+
+def test_stream_forward_matches_unfused_model_level():
+    from test_round2_fixes import _rays, tiny_cfg
+    from papr_tpu.model.papr import create_model, forward
+
+    cfg_off = tiny_cfg(tpu={"fused_attn": False})
+    cfg_on = tiny_cfg(tpu={"fused_attn": "stream"})
+    params, state = create_model(cfg_off, jax.random.PRNGKey(0))
+    rayo, rayd, c2w = _rays(H=8, W=8)
+
+    base = np.asarray(forward(params, state, cfg_off, rayo, rayd, c2w))
+    fused = np.asarray(forward(params, state, cfg_on, rayo, rayd, c2w))
+    np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-5)
+
+
+def test_stream_forward_with_point_feats_ink():
+    """pc_feats with use_ink: extras ride the key stream as pass-through."""
+    from test_round2_fixes import _rays, tiny_cfg
+    from papr_tpu.model.papr import create_model, forward
+
+    over = {"geoms": {"point_feats": {"use_ink": True}}}
+    cfg_off = tiny_cfg(tpu={"fused_attn": False}, **over)
+    cfg_on = tiny_cfg(tpu={"fused_attn": "stream"}, **over)
+    params, state = create_model(cfg_off, jax.random.PRNGKey(0))
+    rayo, rayd, c2w = _rays(H=8, W=8)
+
+    base = np.asarray(forward(params, state, cfg_off, rayo, rayd, c2w))
+    fused = np.asarray(forward(params, state, cfg_on, rayo, rayd, c2w))
+    np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-5)
+
+
+def test_stream_train_step_gradients_model_level():
+    from test_round2_fixes import _rays, tiny_cfg
+    from papr_tpu.model.papr import create_model
+    from papr_tpu.train.step import make_opt_state, make_train_step
+
+    rayo, rayd, c2w = _rays(H=8, W=8)
+    target = np.random.default_rng(0).random((1, 8, 8, 3), np.float32)
+
+    results = {}
+    for name, fa in (("off", False), ("stream", "stream")):
+        cfg = tiny_cfg(tpu={"fused_attn": fa})
+        params, state = create_model(cfg, jax.random.PRNGKey(0))
+        opt = make_opt_state(cfg, params)
+        step_fn, _ = make_train_step(cfg, donate=False)
+        p1, _, loss, _ = step_fn(params, opt, state, rayo, rayd, target,
+                                 c2w, 0)
+        results[name] = (float(loss), p1)
+
+    assert results["stream"][0] == pytest.approx(results["off"][0], rel=1e-5)
+    for a, b in zip(jax.tree.leaves(results["stream"][1]),
+                    jax.tree.leaves(results["off"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)

@@ -285,12 +285,12 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
     fa = cfg.get_path("tpu.fused_attn", "auto")
     if fa == "auto":
         # Measured on v5e (160x160 patch, 30k pts, k=20, full train step):
-        # streamed key kernel 76.8 ms vs split kernels 81.0 vs unfused
-        # 83.4 — auto is 'stream' for real single-chip TPU runs.
+        # k-major split kernels 81.0 ms vs unfused 83.4 — auto is ON for
+        # real single-chip TPU runs ('stream' pending TPU measurement).
         # Single-chip only: a multi-device mesh keeps the unfused XLA path
         # (no GSPMD sharding rule for these pallas_calls).
-        fa = ("stream" if (fusible and jax.default_backend() == "tpu"
-                           and jax.device_count() == 1) else False)
+        fa = (fusible and jax.default_backend() == "tpu"
+              and jax.device_count() == 1)
     use_stream = fusible and fa == "stream"
     use_embed_kernel = fusible and fa in (True, "embed")
     use_score_kernel = fusible and fa in (True, "score")

@@ -429,8 +429,8 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
         k_extra, q_extra, v_extra, eps=eps, policy=policy,
         remat=remat and not (use_embed_kernel or use_stream),
         dropout_rng=None, fused=use_embed_kernel or use_stream,
-        fused_interpret=interp, skip_k=use_stream)
-    ev3 = ev.reshape(k, T, ev.shape[-1])
+        fused_interpret=interp, skip_k=use_stream, skip_v=use_stream)
+    ev3 = None if use_stream else ev.reshape(k, T, ev.shape[-1])
 
     if use_stream:
         # Streamed key-attention kernel (ops/stream_attn.py): the key
@@ -438,7 +438,7 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
         # slice with no HBM-materialized key embeddings; the query chain
         # (qq) composes via autodiff through the fused query embedder.
         from ..ops.fused_mlp import _ff_lns
-        from ..ops.stream_attn import key_stream_scores
+        from ..ops.stream_attn import key_stream_scores, value_stream_fuse
         qq = linear_apply(params["attn"]["w_q"], eq, policy).astype(
             jnp.float32)
         kx_parts = [jax.lax.stop_gradient(selected), proj, perp]
@@ -485,11 +485,36 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
             [scores, jnp.full((T, 1), bkg_score, jnp.float32)], axis=-1)
         attn = jax.nn.softmax(allsc, axis=-1)
 
-    # Renormalize + fuse epilogue (models/model.py:533-534).
-    topk_attn = attn[:, :-1]
-    if normalize:
-        topk_attn = topk_attn / jnp.sum(topk_attn, axis=-1, keepdims=True)
-    fused_f = jnp.einsum("tk,ktc->tc", topk_attn, ev3.astype(jnp.float32))
+    if use_stream:
+        # Value embedder + renormalize/fuse epilogue, streamed per k slice
+        # (ops/stream_attn.py): value embeddings never materialize in HBM.
+        vx_parts = [proj, perp]
+        v_extra_dim = 0
+        if v_extra is not None:
+            vx_parts.append(rec[..., 5:5 + int(pcf.dim)])
+            v_extra_dim = int(pcf.dim)
+        xv = jnp.concatenate([p.astype(jnp.float32) for p in vx_parts],
+                             axis=-1)                       # (K, T, d_raw)
+        pe_desc_v = ((3, 3), tuple(int(l) for l in e.v_L),
+                     int(e.embed_type), float(e.pe_factor),
+                     float(e.pe_mult_factor), v_extra_dim)
+        vp = params["attn"]["embed_v"]
+        vws = tuple(l["w"].T for l in vp["mlp"]["layers"])
+        vbs = tuple(l["bias"] for l in vp["mlp"]["layers"])
+        vln_in, vln_out = _ff_lns(vp)
+        fused_f = value_stream_fuse(
+            xv, attn, vws, vbs, vln_in, vln_out, pe_desc_v,
+            e.value.ff_act, e.value.ff_last_act, normalize,
+            int(cfg.get_path("tpu.fused_tile", 256)), interp,
+            jnp.dtype(policy.compute_dtype).name)           # (T, C)
+    else:
+        # Renormalize + fuse epilogue (models/model.py:533-534).
+        topk_attn = attn[:, :-1]
+        if normalize:
+            topk_attn = topk_attn / jnp.sum(topk_attn, axis=-1,
+                                            keepdims=True)
+        fused_f = jnp.einsum("tk,ktc->tc", topk_attn,
+                             ev3.astype(jnp.float32))
 
     fused_f = fused_f.reshape(N, H, W, -1)
     attn = attn.reshape(N, H, W, k + 1)

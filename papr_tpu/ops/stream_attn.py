@@ -342,3 +342,225 @@ def _ks_bwd(pe_desc, act, last_act, score_act, bkg_score, tile, interpret,
 
 
 key_stream_scores.defvjp(_ks_fwd, _ks_bwd)
+
+
+# ----------------------------------------------------- value stream fuse ----
+#
+# fused = sum_k topk_attn[:, k] * value_embed(xv[k]) — the value embedder
+# (the deepest stack, reference models/attn.py:108-117 value branch) plus the
+# renormalize+fuse epilogue (models/model.py:533-534), streamed per
+# (ray-tile, k) slice exactly like the key kernel: value embeddings never
+# materialize in HBM, the fused-feature accumulator and d_attn columns live
+# in VMEM-resident out blocks across the k steps.
+
+def _vs_fwd_kernel(meta, xv_ref, attn_ref, *refs):
+    (vcfg, K, normalize, cdt, tile, T) = meta
+    pe_refs, w_refs, b_refs, ln_refs, rest = _split_refs(vcfg, refs)
+    fused_ref = rest[0]
+    k = pl.program_id(1)
+
+    x = _zero_lanes(xv_ref[0], vcfg[4])
+    y, _, _, _, _ = walk_fwd(vcfg, x.astype(jnp.float32), pe_refs, w_refs,
+                             b_refs, ln_refs)
+    # Round-trip through the compute dtype: the split path materializes the
+    # value embeddings in cdt before the fp32 fuse einsum.
+    yc = y.astype(cdt).astype(jnp.float32)
+
+    attn = attn_ref[:].astype(jnp.float32)
+    fg = attn[:, :K]
+    w = _col_select(fg, k)
+    if normalize:
+        w = w / jnp.sum(fg, axis=1, keepdims=True)
+    contrib = w * yc
+    fused_ref[:] = jnp.where(k == 0, contrib,
+                             fused_ref[:] + contrib).astype(fused_ref.dtype)
+
+
+def _vs_bwd_kernel(meta, xv_ref, attn_ref, dfused_ref, *refs):
+    (vcfg, K, normalize, cdt, tile, T) = meta
+    n = vcfg[0]
+    pe_refs, w_refs, b_refs, ln_refs, rest = _split_refs(vcfg, refs)
+    dxv_ref, dattn_ref = rest[0], rest[1]
+    grads = rest[2:]
+    dw_refs, db_refs, dln_refs = grads[:n], grads[n:2 * n], grads[2 * n:]
+    k = pl.program_id(1)
+    first = jnp.logical_and(pl.program_id(0) == 0, k == 0)
+
+    def accum(ref, val):
+        @pl.when(first)
+        def _():
+            ref[:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[:] += val
+
+    dfused = _zero_lanes(
+        _zero_rows(dfused_ref[:], tile, T).astype(jnp.float32), vcfg[6])
+    attn = _zero_rows(attn_ref[:], tile, T).astype(jnp.float32)
+    fg = attn[:, :K]
+    S = jnp.sum(fg, axis=1, keepdims=True)
+    w = _col_select(fg, k)
+    if normalize:
+        w = w / S
+
+    x = _zero_rows(_zero_lanes(xv_ref[0], vcfg[4]), tile, T)
+    y, hs, pe, li, lo = walk_fwd(vcfg, x.astype(jnp.float32), pe_refs,
+                                 w_refs, b_refs, ln_refs)
+    yc = y.astype(cdt).astype(jnp.float32)
+
+    # d wrt this slice's fuse weight, stashed raw into column k; the final
+    # k step applies the renormalization jacobian across the full row.
+    dw_col = jnp.sum(yc * dfused, axis=1, keepdims=True)
+    base = jnp.where(k == 0, 0.0, dattn_ref[:])
+    datt = _col_update(base, dw_col, k)
+    dattn_ref[:] = datt
+
+    @pl.when(k == K - 1)
+    def _():
+        # Full-width (tile, K+1): the bkg column of datt stays 0 (never
+        # col-updated), so the renorm jacobian can run without reshapes.
+        lane = jax.lax.broadcasted_iota(jnp.int32, datt.shape, 1)
+        if normalize:
+            fg_full = jnp.where(lane < K, attn, 0.0)
+            inner = jnp.sum(datt * fg_full, axis=1, keepdims=True) / S
+            dfg = jnp.where(lane < K, (datt - inner) / S, 0.0)
+        else:
+            dfg = datt
+        dattn_ref[:] = dfg
+
+    g = (w * dfused).astype(jnp.float32)
+
+    def acc(kind, i, val):
+        accum({"w": dw_refs, "b": db_refs, "ln": dln_refs}[kind][i], val)
+
+    g = walk_bwd(vcfg, g, hs, pe, li, lo, pe_refs, w_refs, acc)
+    dxv_ref[0] = g.astype(dxv_ref.dtype)
+
+
+def _vs_prep(xv, ws, bs, ln_in, ln_out, pe_desc, act, last_act, tile,
+             compute):
+    K, T, d_feat = xv.shape
+    cdt = (jnp.dtype(compute) if compute
+           else (jnp.bfloat16 if xv.dtype == jnp.bfloat16 else jnp.float32))
+    (d_raw, d_enc, d_in_pad, dims, pdims, pe, wsp, bsp, lns) = _layout(
+        xv.reshape(K * T, d_feat), ws, bs, ln_in, ln_out, pe_desc, cdt)
+    vcfg = _cfg_tuple(xv.reshape(K * T, d_feat), ws, ln_in, ln_out,
+                      act, last_act, tile, d_raw, d_enc, dims, pe_desc, cdt)
+    return cdt, d_in_pad, dims, pdims, pe, wsp, bsp, lns, vcfg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def value_stream_fuse(xv, attn, ws, bs, ln_in, ln_out, pe_desc=None,
+                      act="relu", last_act="none", normalize=True, tile=256,
+                      interpret=False, compute=None):
+    """fused = sum_k renorm(attn)[:, k] * value_embed(xv[k]), one dispatch.
+
+    Args:
+      xv: (K, T, d_raw) RAW value features, k-major.
+      attn: (T, K+1) fp32 softmax weights (background token last).
+      ws/bs/ln_in/ln_out: value embedder stack (input-major weights).
+      normalize: renormalize the foreground columns to sum 1
+        (cfg.models.normalize_topk_attn; reference models/model.py:533).
+    Returns:
+      fused (T, d_out) fp32 features.
+    """
+    out, _ = _vs_fwd(xv, attn, ws, bs, ln_in, ln_out, pe_desc, act,
+                     last_act, normalize, tile, interpret, compute)
+    return out
+
+
+def _vs_fwd(xv, attn, ws, bs, ln_in, ln_out, pe_desc, act, last_act,
+            normalize, tile, interpret, compute):
+    K, T, _ = xv.shape
+    tile = min(tile, max(8, T))
+    (cdt, d_in_pad, dims, pdims, pe, wsp, bsp, lns, vcfg) = _vs_prep(
+        xv, ws, bs, ln_in, ln_out, pe_desc, act, last_act, tile, compute)
+    meta = (vcfg, K, bool(normalize), cdt, tile, T)
+    const = lambda t, k: (0, 0)
+    trow = lambda t, k: (t, 0)
+    in_specs = ([pl.BlockSpec((1, tile, d_in_pad), lambda t, k: (k, t, 0)),
+                 pl.BlockSpec((tile, K + 1), trow)]
+                + [pl.BlockSpec(p.shape, const) for p in pe]
+                + [pl.BlockSpec((pdims[i], pdims[i + 1]), const)
+                   for i in range(len(ws))]
+                + [pl.BlockSpec((1, pdims[i + 1]), const)
+                   for i in range(len(ws))]
+                + [pl.BlockSpec(l.shape, const) for l in lns])
+
+    fused = pl.pallas_call(
+        functools.partial(_vs_fwd_kernel, meta),
+        grid=(_round_up(T, tile) // tile, K),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, pdims[-1]), trow),
+        out_shape=jax.ShapeDtypeStruct((T, pdims[-1]), jnp.float32),
+        interpret=interpret,
+    )(xv, attn, *pe, *wsp, *bsp, *lns)
+    return fused[:, :dims[-1]], (xv, attn, ws, bs, ln_in, ln_out)
+
+
+def _vs_bwd(pe_desc, act, last_act, normalize, tile, interpret, compute,
+            res, dfused):
+    xv, attn, ws, bs, ln_in, ln_out = res
+    K, T, d_feat = xv.shape
+    n = len(ws)
+    tile = min(tile, max(8, T))
+    (cdt, d_in_pad, dims, pdims, pe, wsp, bsp, lns, vcfg) = _vs_prep(
+        xv, ws, bs, ln_in, ln_out, pe_desc, act, last_act, tile, compute)
+    meta = (vcfg, K, bool(normalize), cdt, tile, T)
+    const = lambda t, k: (0, 0)
+    trow = lambda t, k: (t, 0)
+    in_specs = ([pl.BlockSpec((1, tile, d_in_pad), lambda t, k: (k, t, 0)),
+                 pl.BlockSpec((tile, K + 1), trow),
+                 pl.BlockSpec((tile, pdims[-1]), trow)]
+                + [pl.BlockSpec(p.shape, const) for p in pe]
+                + [pl.BlockSpec((pdims[i], pdims[i + 1]), const)
+                   for i in range(n)]
+                + [pl.BlockSpec((1, pdims[i + 1]), const) for i in range(n)]
+                + [pl.BlockSpec(l.shape, const) for l in lns])
+
+    out_specs = ([pl.BlockSpec((1, tile, d_in_pad), lambda t, k: (k, t, 0)),
+                  pl.BlockSpec((tile, K + 1), trow)]
+                 + [pl.BlockSpec((pdims[i], pdims[i + 1]), const)
+                    for i in range(n)]
+                 + [pl.BlockSpec((1, pdims[i + 1]), const) for i in range(n)]
+                 + [pl.BlockSpec(l.shape, const) for l in lns])
+    out_shapes = ([jax.ShapeDtypeStruct((K, T, d_in_pad), xv.dtype),
+                   jax.ShapeDtypeStruct((T, K + 1), jnp.float32)]
+                  + [jax.ShapeDtypeStruct((pdims[i], pdims[i + 1]),
+                                          jnp.float32) for i in range(n)]
+                  + [jax.ShapeDtypeStruct((1, pdims[i + 1]), jnp.float32)
+                     for i in range(n)]
+                  + [jax.ShapeDtypeStruct(l.shape, jnp.float32)
+                     for l in lns])
+
+    # dfused lanes beyond d_out overhang the block (undefined reads); the
+    # kernel zero-masks them, so no host-side pad copy is needed.
+    outs = pl.pallas_call(
+        functools.partial(_vs_bwd_kernel, meta),
+        grid=(_round_up(T, tile) // tile, K),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xv, attn, dfused, *pe, *wsp, *bsp, *lns)
+
+    dxv = outs[0][:, :, :d_feat].astype(xv.dtype)
+    dattn = outs[1].astype(attn.dtype)
+    dws = tuple(outs[2 + i][:dims[i], :dims[i + 1]].astype(ws[i].dtype)
+                for i in range(n))
+    dbs = tuple(outs[2 + n + i][0, :dims[i + 1]].astype(bs[i].dtype)
+                for i in range(n))
+    j = 2 + 2 * n
+    dln_in = dln_out = None
+    if ln_in is not None:
+        dln_in = (outs[j][0, :dims[0]].astype(ln_in[0].dtype),
+                  outs[j + 1][0, :dims[0]].astype(ln_in[1].dtype))
+        j += 2
+    if ln_out is not None:
+        dln_out = (outs[j][0, :dims[-1]].astype(ln_out[0].dtype),
+                   outs[j + 1][0, :dims[-1]].astype(ln_out[1].dtype))
+    return dxv, dattn, dws, dbs, dln_in, dln_out
+
+
+value_stream_fuse.defvjp(_vs_fwd, _vs_bwd)

@@ -136,6 +136,83 @@ def test_bf16_compute_close_to_fp32():
                                rtol=5e-2, atol=2e-2)
 
 
+# ----------------------------------------------------------- value stream ----
+
+from papr_tpu.ops.stream_attn import value_stream_fuse
+
+VLS = (2, 2)
+
+
+def _vsetup(key, T, K, d_ff=32, d_out=24, n_layer=3, norm="layernorm"):
+    ks = jax.random.split(key, 3)
+    ff_cfg = _ff_cfg(d_ff, d_out, n_layer, norm)
+    d_in = sum(3 + 3 * 2 * l for l in VLS)
+    ff = feedforward_init(ks[0], d_in, d_out, ff_cfg)
+    xv = jax.random.normal(ks[1], (K, T, 6), jnp.float32)
+    attn = jax.nn.softmax(
+        jax.random.normal(ks[2], (T, K + 1), jnp.float32), axis=-1)
+    return ff_cfg, ff, xv, attn
+
+
+def _vref(ff_cfg, ff, xv, attn, normalize=True):
+    feats = [xv[..., 0:3], xv[..., 3:6]]
+    enc = _encode(feats, VLS, 1, PE[0], PE[1], None)
+    ev = feedforward_apply(ff, enc, ff_cfg, ff_cfg.d_ff_out, 1e-6, F32)
+    topk = attn[:, :-1]
+    if normalize:
+        topk = topk / jnp.sum(topk, axis=-1, keepdims=True)
+    return jnp.einsum("tk,ktc->tc", topk, ev.astype(jnp.float32))
+
+
+def _vstream(ff_cfg, ff, xv, attn, normalize=True, tile=32, compute=None):
+    ws = tuple(l["w"].T for l in ff["mlp"]["layers"])
+    bs = tuple(l["bias"] for l in ff["mlp"]["layers"])
+    ln_in, ln_out = _ff_lns(ff)
+    pe_desc = ((3, 3), VLS, 1, PE[0], PE[1], 0)
+    return value_stream_fuse(xv, attn, ws, bs, ln_in, ln_out, pe_desc,
+                             ff_cfg.ff_act, ff_cfg.ff_last_act, normalize,
+                             tile, True, compute)
+
+
+@pytest.mark.parametrize("T,K,tile,norm,renorm", [
+    (64, 7, 32, "layernorm", True),
+    (100, 5, 32, "none", True),      # overhang rows
+    (40, 1, 40, "layernorm", False), # K=1, no renormalization
+    (48, 11, 16, "none", False),
+])
+def test_value_forward_matches_reference(T, K, tile, norm, renorm):
+    ff_cfg, ff, xv, attn = _vsetup(jax.random.PRNGKey(7), T, K, norm=norm)
+    got = _vstream(ff_cfg, ff, xv, attn, normalize=renorm, tile=tile)
+    want = _vref(ff_cfg, ff, xv, attn, normalize=renorm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("T,K,tile,renorm", [
+    (64, 6, 32, True),
+    (90, 5, 32, False),              # overhang rows exercise dW row-masking
+])
+def test_value_gradients_match_reference(T, K, tile, renorm):
+    ff_cfg, ff, xv, attn = _vsetup(jax.random.PRNGKey(8), T, K)
+    tgt = jax.random.normal(jax.random.PRNGKey(9), (T, ff_cfg.d_ff_out))
+
+    def loss(fuse_fn, ff, xv, attn):
+        fused = fuse_fn(ff_cfg, ff, xv, attn, normalize=renorm)
+        # attn cotangent must combine the fuse chain with a direct use of
+        # the bkg column (compositing does the same in papr.py).
+        return jnp.mean((fused - tgt) ** 2) + jnp.mean(attn[:, -1] ** 2)
+
+    args = (ff, xv, attn)
+    gf = jax.grad(lambda *a: loss(lambda *b, **kw: _vstream(*b, tile=tile,
+                                                            **kw), *a),
+                  (0, 1, 2))(*args)
+    gr = jax.grad(lambda *a: loss(_vref, *a), (0, 1, 2))(*args)
+    for name, a_, b_ in zip(["ff", "xv", "attn"], gf, gr):
+        for la, lb in zip(jax.tree.leaves(a_), jax.tree.leaves(b_)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=3e-4, atol=1e-6, err_msg=name)
+
+
 # ------------------------------------------------------------ model level ----
 
 def test_stream_forward_matches_unfused_model_level():

@@ -291,13 +291,14 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
         # (no GSPMD sharding rule for these pallas_calls).
         fa = (fusible and jax.default_backend() == "tpu"
               and jax.device_count() == 1)
-    use_stream = fusible and fa == "stream"
+    use_stream = fusible and fa in ("stream", "streamrec")
     use_embed_kernel = fusible and fa in (True, "embed")
     use_score_kernel = fusible and fa in (True, "score")
     if use_stream or use_embed_kernel or use_score_kernel:
         return _attend_kmaj(params, cfg, meta, idx, rays_o, rays_d,
                             alive, eps, policy, remat, use_embed_kernel,
-                            use_score_kernel, use_stream)
+                            use_score_kernel, use_stream,
+                            rec_native=(fa == "streamrec"))
 
     # One wide gather instead of three narrow ones: TPU gathers of rows with
     # tiny trailing dims (3/1/64) hit a slow row-DMA path; a single gather of
@@ -366,7 +367,7 @@ def _point_record(params, alive, meta, pcf):
 def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                  eps: float, policy: Policy, remat: bool,
                  use_embed_kernel: bool, use_score_kernel: bool,
-                 use_stream: bool = False):
+                 use_stream: bool = False, rec_native: bool = False):
     """Fused attention path in K-MAJOR token order.
 
     All (tokens, dim) tensors on this path are plain 2D with token order
@@ -437,31 +438,46 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
         # embedder walks + score projection + softmax run per (ray-tile, k)
         # slice with no HBM-materialized key embeddings; the query chain
         # (qq) composes via autodiff through the fused query embedder.
+        # rec_native additionally moves the point-ray geometry and posenc
+        # sources into the kernel, reading the gathered records directly.
         from ..ops.fused_mlp import _ff_lns
-        from ..ops.stream_attn import key_stream_scores, value_stream_fuse
+        from ..ops.stream_attn import (key_stream_scores,
+                                       key_stream_scores_rec,
+                                       value_stream_fuse,
+                                       value_stream_fuse_rec)
         qq = linear_apply(params["attn"]["w_q"], eq, policy).astype(
             jnp.float32)
-        kx_parts = [jax.lax.stop_gradient(selected), proj, perp]
-        extra_dim = 0
-        if k_extra is not None:
-            kx_parts.append(rec[..., 5:5 + int(pcf.dim)])
-            extra_dim = int(pcf.dim)
-        xk = jnp.concatenate([p.astype(jnp.float32) for p in kx_parts],
-                             axis=-1)                       # (K, T, d_raw)
-        pe_desc = ((3, 3, 3), tuple(int(l) for l in e.k_L),
-                   int(e.embed_type), float(e.pe_factor),
-                   float(e.pe_mult_factor), extra_dim)
+        k_extra_dim = int(pcf.dim) if k_extra is not None else 0
         kp = params["attn"]["embed_k"]
         kws = tuple(l["w"].T for l in kp["mlp"]["layers"])
         kbs = tuple(l["bias"] for l in kp["mlp"]["layers"])
         kln_in, kln_out = _ff_lns(kp)
-        attn = key_stream_scores(
-            xk, qq, kws, kbs, kln_in, kln_out,
-            params["attn"]["w_k"]["w"], params["attn"]["w_k"]["bias"],
-            influ.astype(jnp.float32), sel_alive.astype(jnp.float32),
-            pe_desc, e.key.ff_act, e.key.ff_last_act, attn_cfg.score_act,
-            bkg_score, int(cfg.get_path("tpu.fused_tile", 256)), interp,
-            jnp.dtype(policy.compute_dtype).name)           # (T, K+1)
+        tile = int(cfg.get_path("tpu.fused_tile", 256))
+        cdt_name = jnp.dtype(policy.compute_dtype).name
+        if rec_native:
+            attn = key_stream_scores_rec(
+                rec, rayo_flat, rays, qq, kws, kbs, kln_in, kln_out,
+                params["attn"]["w_k"]["w"], params["attn"]["w_k"]["bias"],
+                (tuple(int(l) for l in e.k_L), int(e.embed_type),
+                 float(e.pe_factor), float(e.pe_mult_factor), k_extra_dim),
+                e.key.ff_act, e.key.ff_last_act, attn_cfg.score_act,
+                bkg_score, eps, tile, interp, cdt_name)     # (T, K+1)
+        else:
+            kx_parts = [jax.lax.stop_gradient(selected), proj, perp]
+            if k_extra is not None:
+                kx_parts.append(rec[..., 5:5 + int(pcf.dim)])
+            xk = jnp.concatenate([p.astype(jnp.float32) for p in kx_parts],
+                                 axis=-1)                   # (K, T, d_raw)
+            pe_desc = ((3, 3, 3), tuple(int(l) for l in e.k_L),
+                       int(e.embed_type), float(e.pe_factor),
+                       float(e.pe_mult_factor), k_extra_dim)
+            attn = key_stream_scores(
+                xk, qq, kws, kbs, kln_in, kln_out,
+                params["attn"]["w_k"]["w"], params["attn"]["w_k"]["bias"],
+                influ.astype(jnp.float32), sel_alive.astype(jnp.float32),
+                pe_desc, e.key.ff_act, e.key.ff_last_act,
+                attn_cfg.score_act, bkg_score, tile, interp,
+                cdt_name)                                   # (T, K+1)
     elif use_score_kernel:
         attn = fused_scores(
             ek.reshape(k, T, ek.shape[-1]), eq,
@@ -488,25 +504,31 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
     if use_stream:
         # Value embedder + renormalize/fuse epilogue, streamed per k slice
         # (ops/stream_attn.py): value embeddings never materialize in HBM.
-        vx_parts = [proj, perp]
-        v_extra_dim = 0
-        if v_extra is not None:
-            vx_parts.append(rec[..., 5:5 + int(pcf.dim)])
-            v_extra_dim = int(pcf.dim)
-        xv = jnp.concatenate([p.astype(jnp.float32) for p in vx_parts],
-                             axis=-1)                       # (K, T, d_raw)
-        pe_desc_v = ((3, 3), tuple(int(l) for l in e.v_L),
-                     int(e.embed_type), float(e.pe_factor),
-                     float(e.pe_mult_factor), v_extra_dim)
+        v_extra_dim = int(pcf.dim) if v_extra is not None else 0
         vp = params["attn"]["embed_v"]
         vws = tuple(l["w"].T for l in vp["mlp"]["layers"])
         vbs = tuple(l["bias"] for l in vp["mlp"]["layers"])
         vln_in, vln_out = _ff_lns(vp)
-        fused_f = value_stream_fuse(
-            xv, attn, vws, vbs, vln_in, vln_out, pe_desc_v,
-            e.value.ff_act, e.value.ff_last_act, normalize,
-            int(cfg.get_path("tpu.fused_tile", 256)), interp,
-            jnp.dtype(policy.compute_dtype).name)           # (T, C)
+        if rec_native:
+            fused_f = value_stream_fuse_rec(
+                rec, rayo_flat, rays, attn, vws, vbs, vln_in, vln_out,
+                (tuple(int(l) for l in e.v_L), int(e.embed_type),
+                 float(e.pe_factor), float(e.pe_mult_factor), v_extra_dim),
+                e.value.ff_act, e.value.ff_last_act, normalize, eps, tile,
+                interp, cdt_name)                           # (T, C)
+        else:
+            vx_parts = [proj, perp]
+            if v_extra is not None:
+                vx_parts.append(rec[..., 5:5 + int(pcf.dim)])
+            xv = jnp.concatenate([p.astype(jnp.float32) for p in vx_parts],
+                                 axis=-1)                   # (K, T, d_raw)
+            pe_desc_v = ((3, 3), tuple(int(l) for l in e.v_L),
+                         int(e.embed_type), float(e.pe_factor),
+                         float(e.pe_mult_factor), v_extra_dim)
+            fused_f = value_stream_fuse(
+                xv, attn, vws, vbs, vln_in, vln_out, pe_desc_v,
+                e.value.ff_act, e.value.ff_last_act, normalize, tile,
+                interp, cdt_name)                           # (T, C)
     else:
         # Renormalize + fuse epilogue (models/model.py:533-534).
         topk_attn = attn[:, :-1]

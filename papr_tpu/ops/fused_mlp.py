@@ -168,10 +168,8 @@ def _posenc_plan(dims, Ls, embed_type, factor, mult, extra_dim):
     return raw, d0, S, rows
 
 
-def _pe_stage(xf, S, rows):
-    """x_raw (tile, n_raw_pad) fp32 -> encoded (tile, d0_pad) fp32; also
-    returns what the backward needs."""
-    xg = jnp.dot(xf, S, preferred_element_type=jnp.float32)
+def _pe_freq(xg, rows):
+    """Frequency part of the posenc on gathered columns xg (tile, d0_pad)."""
     freq, m_self, m_sin, m_cos = (rows[0:1], rows[1:2], rows[2:3], rows[3:4])
     t = xg * freq
     sin_t, cos_t = jnp.sin(t), jnp.cos(t)
@@ -179,9 +177,20 @@ def _pe_stage(xf, S, rows):
     return enc, (freq, m_self, m_sin, m_cos, sin_t, cos_t)
 
 
-def _pe_bwd(g, pe_saved, S):
+def _pe_freq_bwd(g, pe_saved):
     freq, m_self, m_sin, m_cos, sin_t, cos_t = pe_saved
-    dxg = (m_self + (m_sin * cos_t - m_cos * sin_t) * freq) * g
+    return (m_self + (m_sin * cos_t - m_cos * sin_t) * freq) * g
+
+
+def _pe_stage(xf, S, rows):
+    """x_raw (tile, n_raw_pad) fp32 -> encoded (tile, d0_pad) fp32; also
+    returns what the backward needs."""
+    xg = jnp.dot(xf, S, preferred_element_type=jnp.float32)
+    return _pe_freq(xg, rows)
+
+
+def _pe_bwd(g, pe_saved, S):
+    dxg = _pe_freq_bwd(g, pe_saved)
     return jax.lax.dot_general(dxg, S, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
@@ -191,13 +200,19 @@ def _pe_bwd(g, pe_saved, S):
 def walk_fwd(cfg, xf, pe_refs, w_refs, b_refs, ln_refs):
     """Embedder-block forward on an in-VMEM fp32 tile ``xf`` (rows,
     d_in_pad), already masked by the caller. Returns per-stage values needed
-    by the backward. Shared with the mega attention kernel
-    (ops/fused_attn.py)."""
+    by the backward. Shared with the streamed attention kernels
+    (ops/stream_attn.py)."""
+    pe = None
+    if cfg[9]:  # has_pe
+        xf, pe = _pe_stage(xf, pe_refs[0][:], pe_refs[1][:])
+    y, hs, li, lo = walk_body_fwd(cfg, xf, w_refs, b_refs, ln_refs)
+    return y, hs, pe, li, lo
+
+
+def walk_body_fwd(cfg, xf, w_refs, b_refs, ln_refs):
+    """[LN] -> dense stack -> [LN] on an ALREADY-ENCODED fp32 tile."""
     (n, act, last_act, cdt, d_raw, d_enc, d_out, T, tile, has_pe, has_li,
      has_lo, eps) = cfg
-    pe = None
-    if has_pe:
-        xf, pe = _pe_stage(xf, pe_refs[0][:], pe_refs[1][:])
     li = lo = None
     if has_li:
         a_in, b_in = ln_refs[0][:], ln_refs[1][:]
@@ -219,7 +234,7 @@ def walk_fwd(cfg, xf, pe_refs, w_refs, b_refs, ln_refs):
         lo = (d_o, r_o, h_o, a_out)
     else:
         y = z
-    return y, hs, pe, li, lo
+    return y, hs, li, lo
 
 
 def walk_bwd(cfg, g, hs, pe, li, lo, pe_refs, w_refs, accum):
@@ -227,6 +242,14 @@ def walk_bwd(cfg, g, hs, pe, li, lo, pe_refs, w_refs, accum):
     zero on pad lanes/rows. ``accum(kind, i, val)`` accumulates parameter
     grads (kind in {'w','b','ln'}; for 'ln' i indexes the a/b refs in
     order). Returns d_x (rows, d_in_pad) fp32."""
+    g = walk_body_bwd(cfg, g, hs, li, lo, w_refs, accum)
+    if cfg[9]:  # has_pe
+        g = _pe_bwd(g, pe, pe_refs[0][:])
+    return g
+
+
+def walk_body_bwd(cfg, g, hs, li, lo, w_refs, accum):
+    """Reverse of walk_body_fwd; returns d_enc (rows, d_enc_pad) fp32."""
     (n, act, last_act, cdt, d_raw, d_enc, d_out, T, tile, has_pe, has_li,
      has_lo, eps) = cfg
     if has_lo:
@@ -253,8 +276,6 @@ def walk_bwd(cfg, g, hs, pe, li, lo, pe_refs, w_refs, accum):
         g, da_i, db_i = _ln_bwd(g, d_i, r_i, h_i, a_in, d_enc, eps)
         accum("ln", 0, da_i)
         accum("ln", 1, db_i)
-    if has_pe:
-        g = _pe_bwd(g, pe, pe_refs[0][:])
     return g
 
 

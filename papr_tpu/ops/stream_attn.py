@@ -40,8 +40,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from .fused_attn import NEG_BIG, _linear, _score_act_fwd, _score_act_mask
-from .fused_mlp import (_cfg_tuple, _layout, _pad2, _round_up, _split_refs,
-                        _zero_lanes, walk_bwd, walk_fwd)
+from .fused_mlp import (_cfg_tuple, _layout, _pad2, _pe_freq, _pe_freq_bwd,
+                        _round_up, _split_refs, _zero_lanes, walk_body_bwd,
+                        walk_body_fwd, walk_bwd, walk_fwd)
 
 _LANE = 128
 
@@ -564,3 +565,653 @@ def _vs_bwd(pe_desc, act, last_act, normalize, tile, interpret, compute,
 
 
 value_stream_fuse.defvjp(_vs_fwd, _vs_bwd)
+
+
+# ------------------------------------------------------ rec-native stream ----
+#
+# v2 of the streamed kernels: instead of XLA-materialized feature tensors
+# (xk/xv concats of [pos, proj, perp, extras] — each lane-padded to 128, so
+# (K, T, 9) fp32 costs a full (K*T, 128) HBM round trip, and its gradient
+# another), the kernels read the gathered POINT RECORDS directly (already
+# materialized for the gather) plus the per-ray origin/direction, and compute
+# the point-ray geometry (reference models/model.py:396-437) in-kernel on
+# the VPU. The posenc selection matmul splits into three source matmuls
+# (record / proj / perp); influence and alive ride the record's lanes 3/4.
+# Backward hand-derives the geometry chain and streams d_rayo/d_rays into
+# block-resident accumulators like d_qq; d_record carries the influence
+# gradient in lane 3 and the (non-detached) position gradient from proj/perp
+# in lanes 0:3 — the detached position FEATURE gradient (reference detaches
+# positions in the key stream, models/model.py:403) is dropped by lane mask.
+
+_REC_POS, _REC_INFLU, _REC_ALIVE, _REC_FEATS = 0, 3, 4, 5
+
+
+@functools.lru_cache(maxsize=None)
+def _rec_pe_plan(has_pos, Ls, embed_type, factor, mult, extra_dim, rec_pad):
+    """Column plan for posenc over [pos?, proj, perp, extras] sources.
+
+    Layout matches attention.py _encode: per-feature interleaved posenc
+    (nn/posenc.py) then raw extras. Returns (d0, S_rec, S_proj, S_perp,
+    rows) with every S sized (rec_pad, d0_pad)."""
+    import numpy as np
+    feats = (["pos"] if has_pos else []) + ["proj", "perp"]
+    cols = []                       # (source, source_lane, scale, kind)
+    for fi, src in enumerate(feats):
+        for j in range(3):
+            if embed_type == 1:
+                cols.append((src, j, 0.0, 0))
+            for i in range(Ls[fi]):
+                s = (factor ** i) * mult
+                cols.append((src, j, s, 1))
+                cols.append((src, j, s, 2))
+    for j in range(extra_dim):
+        cols.append(("rec", _REC_FEATS + j, 0.0, 0))
+    d0 = len(cols)
+    d0p = _round_up(d0, _LANE)
+    S = {"rec": np.zeros((rec_pad, d0p), np.float32),
+         "proj": np.zeros((rec_pad, d0p), np.float32),
+         "perp": np.zeros((rec_pad, d0p), np.float32)}
+    rows = np.zeros((4, d0p), np.float32)
+    for c, (src, j, s, kind) in enumerate(cols):
+        S["rec" if src == "pos" else src][j, c] = 1.0
+        rows[0, c] = s
+        rows[1 + kind, c] = 1.0
+    return d0, S["rec"], S["proj"], S["perp"], rows
+
+
+def _mask3(x):
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < 3, x, 0.0)
+
+
+def _rec_lane(recb, lane_idx):
+    """One record lane as a (rows, 1) column."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, recb.shape, 1)
+    return jnp.sum(jnp.where(lane == lane_idx, recb, 0.0), axis=1,
+                   keepdims=True)
+
+
+def _geom_fwd(sel, rayo, rays, eps):
+    """point_ray_geometry on (tile, rec_pad) fp32 arrays masked to lanes
+    0:3 (papr.py _attend_kmaj / ops/geometry.py formulas)."""
+    v = sel - rayo
+    t_al = jnp.sum(v * rays, axis=1, keepdims=True)
+    dd = jnp.sum(rays * rays, axis=1, keepdims=True)
+    c = t_al / (dd + eps)
+    proj = rays * c
+    perp = v - proj
+    return proj, perp, (v, t_al, dd, c)
+
+def _geom_bwd(dproj, dperp, rays, saved, eps):
+    v, t_al, dd, c = saved
+    dv = dperp
+    dpe = dproj - dperp                      # proj's total cotangent
+    dc = jnp.sum(dpe * rays, axis=1, keepdims=True)
+    drays = dpe * c
+    dt = dc / (dd + eps)
+    ddd = -dc * t_al / ((dd + eps) * (dd + eps))
+    dv = dv + dt * rays
+    drays = drays + dt * v + 2.0 * rays * ddd
+    return dv, -dv, drays                    # d_sel, d_rayo, d_rays
+
+
+def _softmax_s(ss, bkg):
+    m = jnp.maximum(jnp.max(ss, axis=1, keepdims=True), bkg)
+    e = jnp.exp(ss - m)
+    eb = jnp.exp(bkg - m)
+    z = jnp.sum(e, axis=1, keepdims=True) + eb
+    return e / z, eb / z
+
+
+def _rec_encode(meta_enc, recb, rayo, rays, Srec_ref, Sproj_ref, Sperp_ref,
+                rows_ref, eps):
+    """Geometry + split-source posenc -> (enc, pe_saved, geometry saved)."""
+    sel = _mask3(recb)
+    proj, perp, gsave = _geom_fwd(sel, rayo, rays, eps)
+    xg = (jnp.dot(recb, Srec_ref[:], preferred_element_type=jnp.float32)
+          + jnp.dot(proj, Sproj_ref[:], preferred_element_type=jnp.float32)
+          + jnp.dot(perp, Sperp_ref[:], preferred_element_type=jnp.float32))
+    enc, pe_saved = _pe_freq(xg, rows_ref[:])
+    return enc, pe_saved, gsave
+
+
+def _rec_decode_bwd(g_enc, pe_saved, gsave, rays, Srec_ref, Sproj_ref,
+                    Sperp_ref, eps, detach_pos):
+    """d_enc -> (d_rec_from_features, d_rayo, d_rays)."""
+    d_xg = _pe_freq_bwd(g_enc, pe_saved)
+    dot_t = lambda a, s_ref: jax.lax.dot_general(
+        a, s_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d_rec_enc = dot_t(d_xg, Srec_ref)
+    d_proj = dot_t(d_xg, Sproj_ref)
+    d_perp = dot_t(d_xg, Sperp_ref)
+    d_sel, d_rayo, d_rays = _geom_bwd(d_proj, d_perp, rays, gsave, eps)
+    lane = jax.lax.broadcasted_iota(jnp.int32, d_rec_enc.shape, 1)
+    if detach_pos:
+        # Position FEATURE grads dropped (reference detach); extras kept.
+        d_rec_enc = jnp.where(lane >= _REC_FEATS, d_rec_enc, 0.0)
+    d_rec = d_rec_enc + jnp.where(lane < 3, d_sel, 0.0)
+    return d_rec, d_rayo, d_rays
+
+
+def _ksr_split(meta, refs):
+    kcfg = meta[0]
+    n, has_li, has_lo = kcfg[0], kcfg[10], kcfg[11]
+    S_refs = refs[:4]
+    i = 4
+    w_refs = refs[i:i + n]
+    b_refs = refs[i + n:i + 2 * n]
+    nln = 2 * (has_li + has_lo)
+    ln_refs = refs[i + 2 * n:i + 2 * n + nln]
+    rest = refs[i + 2 * n + nln:]
+    return S_refs, w_refs, b_refs, ln_refs, rest
+
+
+def _ksr_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, *refs):
+    (kcfg, K, dm, score_act, bkg, cdt, tile, T, eps) = meta
+    (Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, ln_refs, rest = \
+        _ksr_split(meta, refs)
+    wk_ref, bk_ref, attn_ref, raw_ref, ss_ref = rest
+    k = pl.program_id(1)
+
+    recb = rec_ref[0].astype(jnp.float32)
+    rayo = _mask3(rayo_ref[:].astype(jnp.float32))
+    rays = _mask3(rays_ref[:].astype(jnp.float32))
+    enc, _, _ = _rec_encode(meta, recb, rayo, rays, Srec, Sproj, Sperp,
+                            rows_ref, eps)
+    y, _, _, _ = walk_body_fwd(kcfg, enc, w_refs, b_refs, ln_refs)
+    kk = _linear(y.astype(cdt), wk_ref, bk_ref, cdt)
+    qq = _zero_lanes(qq_ref[:], dm).astype(jnp.float32)
+    col = jnp.sum(qq * kk, axis=1, keepdims=True) / math.sqrt(dm)
+
+    influ = _rec_lane(recb, _REC_INFLU)
+    alive = _rec_lane(recb, _REC_ALIVE) > 0.5
+    s_col = jnp.where(alive, _score_act_fwd(col, score_act) * influ, NEG_BIG)
+
+    raw = _col_update(jnp.where(k == 0, 0.0, raw_ref[:]), col, k)
+    raw_ref[:] = raw
+    ss = _col_update(jnp.where(k == 0, 0.0, ss_ref[:]), s_col, k)
+    ss_ref[:] = ss
+
+    @pl.when(k == K - 1)
+    def _():
+        attn_fg, attn_bkg = _softmax_s(ss, bkg)
+        attn_ref[:] = jnp.concatenate([attn_fg, attn_bkg], axis=1).astype(
+            attn_ref.dtype)
+
+
+def _ksr_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, raw_ref,
+                    ss_ref, dattn_ref, *refs):
+    (kcfg, K, dm, score_act, bkg, cdt, tile, T, eps) = meta
+    n = kcfg[0]
+    (Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, ln_refs, rest = \
+        _ksr_split(meta, refs)
+    wk_ref, bk_ref = rest[0], rest[1]
+    (drec_ref, drayo_ref, drays_ref, dqq_ref, dwk_ref, dbk_ref) = rest[2:8]
+    grads = rest[8:]
+    dw_refs, db_refs, dln_refs = grads[:n], grads[n:2 * n], grads[2 * n:]
+    k = pl.program_id(1)
+    first = jnp.logical_and(pl.program_id(0) == 0, k == 0)
+
+    def accum(ref, val):
+        @pl.when(first)
+        def _():
+            ref[:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[:] += val
+
+    # Softmax backward from the saved masked scores (alive == ss > NEG/2).
+    ss = _zero_rows(ss_ref[:].astype(jnp.float32), tile, T)
+    attn_fg, attn_bkg = _softmax_s(ss, bkg)
+    dattn = _zero_rows(dattn_ref[:], tile, T).astype(jnp.float32)
+    d_fg, d_bkg = dattn[:, :K], dattn[:, K:K + 1]
+    inner = jnp.sum(attn_fg * d_fg, axis=1, keepdims=True) + attn_bkg * d_bkg
+    ds = jnp.where(ss > 0.5 * NEG_BIG, attn_fg * (d_fg - inner), 0.0)
+
+    recb = _zero_rows(rec_ref[0].astype(jnp.float32), tile, T)
+    rayo = _mask3(_zero_rows(rayo_ref[:].astype(jnp.float32), tile, T))
+    rays = _mask3(_zero_rows(rays_ref[:].astype(jnp.float32), tile, T))
+    influ = _rec_lane(recb, _REC_INFLU)
+    raw_col = _col_select(_zero_rows(raw_ref[:].astype(jnp.float32),
+                                     tile, T), k)
+    sact_col = _score_act_fwd(raw_col, score_act)
+    ds_col = _col_select(ds, k)
+    d_influ_col = ds_col * sact_col
+    amask = _score_act_mask(sact_col, score_act)
+    d_raw_col = (ds_col * influ * amask if amask is not None
+                 else ds_col * influ) / math.sqrt(dm)
+
+    # Recompute this slice's encode + walk; backprop the whole chain.
+    enc, pe_saved, gsave = _rec_encode(meta, recb, rayo, rays, Srec, Sproj,
+                                       Sperp, rows_ref, eps)
+    y, hs, li, lo = walk_body_fwd(kcfg, enc, w_refs, b_refs, ln_refs)
+    y_c = y.astype(cdt)
+    kk = _linear(y_c, wk_ref, bk_ref, cdt)
+    qq = _zero_lanes(_zero_rows(qq_ref[:], tile, T), dm).astype(jnp.float32)
+
+    contrib = d_raw_col * kk
+    dqq_ref[:] = jnp.where(k == 0, contrib, dqq_ref[:] + contrib).astype(
+        dqq_ref.dtype)
+
+    dkk = d_raw_col * qq
+    dkk_c = dkk.astype(cdt)
+    accum(dwk_ref, jax.lax.dot_general(
+        y_c, dkk_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    accum(dbk_ref, jnp.sum(dkk, axis=0, keepdims=True))
+    g = jax.lax.dot_general(dkk_c, wk_ref[:], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+    def acc(kind, i, val):
+        accum({"w": dw_refs, "b": db_refs, "ln": dln_refs}[kind][i], val)
+
+    g = walk_body_bwd(kcfg, g, hs, li, lo, w_refs, acc)
+    d_rec, d_rayo, d_rays = _rec_decode_bwd(g, pe_saved, gsave, rays, Srec,
+                                            Sproj, Sperp, eps,
+                                            detach_pos=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, d_rec.shape, 1)
+    d_rec = d_rec + jnp.where(lane == _REC_INFLU, d_influ_col, 0.0)
+    drec_ref[0] = d_rec.astype(drec_ref.dtype)
+    drayo_ref[:] = jnp.where(k == 0, d_rayo, drayo_ref[:] + d_rayo).astype(
+        drayo_ref.dtype)
+    drays_ref[:] = jnp.where(k == 0, d_rays, drays_ref[:] + d_rays).astype(
+        drays_ref.dtype)
+
+
+def _rec_prep(rec, ws, bs, ln_in, ln_out, enc_desc, has_pos, act, last_act,
+              tile, compute):
+    K, T, rec_pad = rec.shape
+    cdt = (jnp.dtype(compute) if compute
+           else (jnp.bfloat16 if rec.dtype == jnp.bfloat16 else jnp.float32))
+    Ls, embed_type, factor, mult, extra_dim = enc_desc
+    d0, S_rec, S_proj, S_perp, rows = _rec_pe_plan(
+        has_pos, tuple(int(l) for l in Ls), int(embed_type), float(factor),
+        float(mult), int(extra_dim), rec_pad)
+    dims = [d0] + [w.shape[1] for w in ws]
+    pdims = [_round_up(d, _LANE) for d in dims]
+    wsp = [_pad2(w.astype(cdt), pdims[i], pdims[i + 1])
+           for i, w in enumerate(ws)]
+    bsp = [_pad2(b.astype(jnp.float32)[None, :], 1, pdims[i + 1])
+           for i, b in enumerate(bs)]
+    lns = []
+    for ln, dp in ((ln_in, pdims[0]), (ln_out, pdims[-1])):
+        if ln is not None:
+            a, b = ln
+            lns += [_pad2(a.astype(jnp.float32)[None, :], 1, dp),
+                    _pad2(b.astype(jnp.float32)[None, :], 1, dp)]
+    kcfg = (len(ws), act, last_act, cdt, d0, d0, dims[-1], K * T, tile,
+            False, ln_in is not None, ln_out is not None, 1e-6)
+    S_mats = [jnp.asarray(S_rec), jnp.asarray(S_proj), jnp.asarray(S_perp),
+              jnp.asarray(rows)]
+    return cdt, dims, pdims, S_mats, wsp, bsp, lns, kcfg
+
+
+def _rec_param_specs(n, pdims, S_mats, lns, const):
+    return ([pl.BlockSpec(s.shape, const) for s in S_mats]
+            + [pl.BlockSpec((pdims[i], pdims[i + 1]), const)
+               for i in range(n)]
+            + [pl.BlockSpec((1, pdims[i + 1]), const) for i in range(n)]
+            + [pl.BlockSpec(l.shape, const) for l in lns])
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18))
+def key_stream_scores_rec(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk,
+                          enc_desc=None, act="relu", last_act="none",
+                          score_act="relu", bkg_score=5.0, eps=1e-6,
+                          tile=256, interpret=False, compute=None):
+    """Rec-native streamed key attention: geometry + posenc + embedder +
+    score + softmax from the raw gathered point records, one dispatch.
+
+    Args:
+      rec: (K, T, rec_pad) fp32 gathered point records
+        ([xyz, influ, alive, pc_feats?, 0-pad], papr.py _point_record).
+      rayo/rays: (T, 3) fp32 ray origins / NORMALIZED directions.
+      qq: (T, d_model) fp32 projected query.
+      enc_desc: (Ls, embed_type, pe_factor, pe_mult, extra_dim).
+    Returns:
+      attn (T, K+1) fp32 softmax weights, background token last.
+    """
+    out, _ = _ksr_fwd(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk,
+                      enc_desc, act, last_act, score_act, bkg_score, eps,
+                      tile, interpret, compute)
+    return out
+
+
+def _ksr_fwd(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, enc_desc,
+             act, last_act, score_act, bkg_score, eps, tile, interpret,
+             compute):
+    K, T, rec_pad = rec.shape
+    tile = min(tile, max(8, T))
+    (cdt, dims, pdims, S_mats, wsp, bsp, lns, kcfg) = _rec_prep(
+        rec, ws, bs, ln_in, ln_out, enc_desc, True, act, last_act, tile,
+        compute)
+    dm = wk.shape[0]
+    dm_pad = _round_up(dm, _LANE)
+    wkT = _pad2(wk.astype(cdt).T, pdims[-1], dm_pad)
+    bk2 = _pad2(bk.astype(jnp.float32)[None, :], 1, dm_pad)
+    meta = (kcfg, K, dm, score_act, float(bkg_score), cdt, tile, T,
+            float(eps))
+    const = lambda t, k: (0, 0)
+    trow = lambda t, k: (t, 0)
+    in_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, dm_pad), trow)]
+                + _rec_param_specs(len(ws), pdims, S_mats, lns, const)
+                + [pl.BlockSpec((pdims[-1], dm_pad), const),
+                   pl.BlockSpec((1, dm_pad), const)])
+
+    attn, raw, ss = pl.pallas_call(
+        functools.partial(_ksr_fwd_kernel, meta),
+        grid=(_round_up(T, tile) // tile, K),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((tile, K + 1), trow),
+                   pl.BlockSpec((tile, K), trow),
+                   pl.BlockSpec((tile, K), trow)],
+        out_shape=[jax.ShapeDtypeStruct((T, K + 1), jnp.float32),
+                   jax.ShapeDtypeStruct((T, K), jnp.float32),
+                   jax.ShapeDtypeStruct((T, K), jnp.float32)],
+        interpret=interpret,
+    )(rec, rayo, rays, qq, *S_mats, *wsp, *bsp, *lns, wkT, bk2)
+    return attn, (rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, raw,
+                  ss)
+
+
+def _ksr_bwd(enc_desc, act, last_act, score_act, bkg_score, eps, tile,
+             interpret, compute, res, dattn):
+    (rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, raw, ss) = res
+    K, T, rec_pad = rec.shape
+    n = len(ws)
+    tile = min(tile, max(8, T))
+    (cdt, dims, pdims, S_mats, wsp, bsp, lns, kcfg) = _rec_prep(
+        rec, ws, bs, ln_in, ln_out, enc_desc, True, act, last_act, tile,
+        compute)
+    dm = wk.shape[0]
+    dm_pad = _round_up(dm, _LANE)
+    wkT = _pad2(wk.astype(cdt).T, pdims[-1], dm_pad)
+    bk2 = _pad2(bk.astype(jnp.float32)[None, :], 1, dm_pad)
+    meta = (kcfg, K, dm, score_act, float(bkg_score), cdt, tile, T,
+            float(eps))
+    const = lambda t, k: (0, 0)
+    trow = lambda t, k: (t, 0)
+    in_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, dm_pad), trow),
+                 pl.BlockSpec((tile, K), trow),       # raw
+                 pl.BlockSpec((tile, K), trow),       # ss
+                 pl.BlockSpec((tile, K + 1), trow)]   # dattn
+                + _rec_param_specs(n, pdims, S_mats, lns, const)
+                + [pl.BlockSpec((pdims[-1], dm_pad), const),
+                   pl.BlockSpec((1, dm_pad), const)])
+
+    out_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
+                  pl.BlockSpec((tile, rec_pad), trow),
+                  pl.BlockSpec((tile, rec_pad), trow),
+                  pl.BlockSpec((tile, dm_pad), trow),
+                  pl.BlockSpec((pdims[-1], dm_pad), const),
+                  pl.BlockSpec((1, dm_pad), const)]
+                 + [pl.BlockSpec((pdims[i], pdims[i + 1]), const)
+                    for i in range(n)]
+                 + [pl.BlockSpec((1, pdims[i + 1]), const) for i in range(n)]
+                 + [pl.BlockSpec(l.shape, const) for l in lns])
+    out_shapes = ([jax.ShapeDtypeStruct((K, T, rec_pad), rec.dtype),
+                   jax.ShapeDtypeStruct((T, rec_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((T, rec_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((T, dm_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((pdims[-1], dm_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, dm_pad), jnp.float32)]
+                  + [jax.ShapeDtypeStruct((pdims[i], pdims[i + 1]),
+                                          jnp.float32) for i in range(n)]
+                  + [jax.ShapeDtypeStruct((1, pdims[i + 1]), jnp.float32)
+                     for i in range(n)]
+                  + [jax.ShapeDtypeStruct(l.shape, jnp.float32)
+                     for l in lns])
+
+    outs = pl.pallas_call(
+        functools.partial(_ksr_bwd_kernel, meta),
+        grid=(_round_up(T, tile) // tile, K),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(rec, rayo, rays, qq, raw, ss, dattn, *S_mats, *wsp, *bsp, *lns,
+      wkT, bk2)
+
+    drec = outs[0].astype(rec.dtype)
+    drayo = outs[1][:, :3].astype(rayo.dtype)
+    drays = outs[2][:, :3].astype(rays.dtype)
+    dqq = outs[3][:, :dm].astype(qq.dtype)
+    dwk = outs[4][:dims[-1], :dm].T.astype(wk.dtype)
+    dbk = outs[5][0, :dm].astype(bk.dtype)
+    dws = tuple(outs[6 + i][:dims[i], :dims[i + 1]].astype(ws[i].dtype)
+                for i in range(n))
+    dbs = tuple(outs[6 + n + i][0, :dims[i + 1]].astype(bs[i].dtype)
+                for i in range(n))
+    j = 6 + 2 * n
+    dln_in = dln_out = None
+    if ln_in is not None:
+        dln_in = (outs[j][0, :dims[0]].astype(ln_in[0].dtype),
+                  outs[j + 1][0, :dims[0]].astype(ln_in[1].dtype))
+        j += 2
+    if ln_out is not None:
+        dln_out = (outs[j][0, :dims[-1]].astype(ln_out[0].dtype),
+                   outs[j + 1][0, :dims[-1]].astype(ln_out[1].dtype))
+    return (drec, drayo, drays, dqq, dws, dbs, dln_in, dln_out, dwk, dbk)
+
+
+key_stream_scores_rec.defvjp(_ksr_fwd, _ksr_bwd)
+
+
+def _vsr_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, *refs):
+    (vcfg, K, normalize, cdt, tile, T, eps) = meta
+    (Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, ln_refs, rest = \
+        _ksr_split(meta, refs)
+    fused_ref = rest[0]
+    k = pl.program_id(1)
+
+    recb = rec_ref[0].astype(jnp.float32)
+    rayo = _mask3(rayo_ref[:].astype(jnp.float32))
+    rays = _mask3(rays_ref[:].astype(jnp.float32))
+    enc, _, _ = _rec_encode(meta, recb, rayo, rays, Srec, Sproj, Sperp,
+                            rows_ref, eps)
+    y, _, _, _ = walk_body_fwd(vcfg, enc, w_refs, b_refs, ln_refs)
+    yc = y.astype(cdt).astype(jnp.float32)
+
+    attn = attn_ref[:].astype(jnp.float32)
+    fg = attn[:, :K]
+    w = _col_select(fg, k)
+    if normalize:
+        w = w / jnp.sum(fg, axis=1, keepdims=True)
+    contrib = w * yc
+    fused_ref[:] = jnp.where(k == 0, contrib,
+                             fused_ref[:] + contrib).astype(fused_ref.dtype)
+
+
+def _vsr_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, dfused_ref,
+                    *refs):
+    (vcfg, K, normalize, cdt, tile, T, eps) = meta
+    n = vcfg[0]
+    (Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, ln_refs, rest = \
+        _ksr_split(meta, refs)
+    (drec_ref, drayo_ref, drays_ref, dattn_ref) = rest[0:4]
+    grads = rest[4:]
+    dw_refs, db_refs, dln_refs = grads[:n], grads[n:2 * n], grads[2 * n:]
+    k = pl.program_id(1)
+    first = jnp.logical_and(pl.program_id(0) == 0, k == 0)
+
+    def accum(ref, val):
+        @pl.when(first)
+        def _():
+            ref[:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[:] += val
+
+    dfused = _zero_lanes(
+        _zero_rows(dfused_ref[:], tile, T).astype(jnp.float32), vcfg[6])
+    attn = _zero_rows(attn_ref[:], tile, T).astype(jnp.float32)
+    fg = attn[:, :K]
+    S = jnp.sum(fg, axis=1, keepdims=True)
+    w = _col_select(fg, k)
+    if normalize:
+        w = w / S
+
+    recb = _zero_rows(rec_ref[0].astype(jnp.float32), tile, T)
+    rayo = _mask3(_zero_rows(rayo_ref[:].astype(jnp.float32), tile, T))
+    rays = _mask3(_zero_rows(rays_ref[:].astype(jnp.float32), tile, T))
+    enc, pe_saved, gsave = _rec_encode(meta, recb, rayo, rays, Srec, Sproj,
+                                       Sperp, rows_ref, eps)
+    y, hs, li, lo = walk_body_fwd(vcfg, enc, w_refs, b_refs, ln_refs)
+    yc = y.astype(cdt).astype(jnp.float32)
+
+    dw_col = jnp.sum(yc * dfused, axis=1, keepdims=True)
+    base = jnp.where(k == 0, 0.0, dattn_ref[:])
+    datt = _col_update(base, dw_col, k)
+    dattn_ref[:] = datt
+
+    @pl.when(k == K - 1)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, datt.shape, 1)
+        if normalize:
+            fg_full = jnp.where(lane < K, attn, 0.0)
+            inner = jnp.sum(datt * fg_full, axis=1, keepdims=True) / S
+            dfg = jnp.where(lane < K, (datt - inner) / S, 0.0)
+        else:
+            dfg = datt
+        dattn_ref[:] = dfg
+
+    g = (w * dfused).astype(jnp.float32)
+
+    def acc(kind, i, val):
+        accum({"w": dw_refs, "b": db_refs, "ln": dln_refs}[kind][i], val)
+
+    g = walk_body_bwd(vcfg, g, hs, li, lo, w_refs, acc)
+    d_rec, d_rayo, d_rays = _rec_decode_bwd(g, pe_saved, gsave, rays, Srec,
+                                            Sproj, Sperp, eps,
+                                            detach_pos=False)
+    drec_ref[0] = d_rec.astype(drec_ref.dtype)
+    drayo_ref[:] = jnp.where(k == 0, d_rayo, drayo_ref[:] + d_rayo).astype(
+        drayo_ref.dtype)
+    drays_ref[:] = jnp.where(k == 0, d_rays, drays_ref[:] + d_rays).astype(
+        drays_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
+def value_stream_fuse_rec(rec, rayo, rays, attn, ws, bs, ln_in, ln_out,
+                          enc_desc=None, act="relu", last_act="none",
+                          normalize=True, eps=1e-6, tile=256,
+                          interpret=False, compute=None):
+    """Rec-native streamed value fuse: geometry + posenc + value embedder +
+    renormalize/fuse from the raw gathered point records, one dispatch.
+
+    Args as key_stream_scores_rec; attn is the (T, K+1) softmax output.
+    Returns fused (T, d_out) fp32 features.
+    """
+    out, _ = _vsr_fwd(rec, rayo, rays, attn, ws, bs, ln_in, ln_out,
+                      enc_desc, act, last_act, normalize, eps, tile,
+                      interpret, compute)
+    return out
+
+
+def _vsr_fwd(rec, rayo, rays, attn, ws, bs, ln_in, ln_out, enc_desc, act,
+             last_act, normalize, eps, tile, interpret, compute):
+    K, T, rec_pad = rec.shape
+    tile = min(tile, max(8, T))
+    (cdt, dims, pdims, S_mats, wsp, bsp, lns, vcfg) = _rec_prep(
+        rec, ws, bs, ln_in, ln_out, enc_desc, False, act, last_act, tile,
+        compute)
+    meta = (vcfg, K, bool(normalize), cdt, tile, T, float(eps))
+    const = lambda t, k: (0, 0)
+    trow = lambda t, k: (t, 0)
+    in_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, K + 1), trow)]
+                + _rec_param_specs(len(ws), pdims, S_mats, lns, const))
+
+    fused = pl.pallas_call(
+        functools.partial(_vsr_fwd_kernel, meta),
+        grid=(_round_up(T, tile) // tile, K),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, pdims[-1]), trow),
+        out_shape=jax.ShapeDtypeStruct((T, pdims[-1]), jnp.float32),
+        interpret=interpret,
+    )(rec, rayo, rays, attn, *S_mats, *wsp, *bsp, *lns)
+    return fused[:, :dims[-1]], (rec, rayo, rays, attn, ws, bs, ln_in,
+                                 ln_out)
+
+
+def _vsr_bwd(enc_desc, act, last_act, normalize, eps, tile, interpret,
+             compute, res, dfused):
+    rec, rayo, rays, attn, ws, bs, ln_in, ln_out = res
+    K, T, rec_pad = rec.shape
+    n = len(ws)
+    tile = min(tile, max(8, T))
+    (cdt, dims, pdims, S_mats, wsp, bsp, lns, vcfg) = _rec_prep(
+        rec, ws, bs, ln_in, ln_out, enc_desc, False, act, last_act, tile,
+        compute)
+    meta = (vcfg, K, bool(normalize), cdt, tile, T, float(eps))
+    const = lambda t, k: (0, 0)
+    trow = lambda t, k: (t, 0)
+    in_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, K + 1), trow),
+                 pl.BlockSpec((tile, pdims[-1]), trow)]
+                + _rec_param_specs(n, pdims, S_mats, lns, const))
+
+    out_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
+                  pl.BlockSpec((tile, rec_pad), trow),
+                  pl.BlockSpec((tile, rec_pad), trow),
+                  pl.BlockSpec((tile, K + 1), trow)]
+                 + [pl.BlockSpec((pdims[i], pdims[i + 1]), const)
+                    for i in range(n)]
+                 + [pl.BlockSpec((1, pdims[i + 1]), const) for i in range(n)]
+                 + [pl.BlockSpec(l.shape, const) for l in lns])
+    out_shapes = ([jax.ShapeDtypeStruct((K, T, rec_pad), rec.dtype),
+                   jax.ShapeDtypeStruct((T, rec_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((T, rec_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((T, K + 1), jnp.float32)]
+                  + [jax.ShapeDtypeStruct((pdims[i], pdims[i + 1]),
+                                          jnp.float32) for i in range(n)]
+                  + [jax.ShapeDtypeStruct((1, pdims[i + 1]), jnp.float32)
+                     for i in range(n)]
+                  + [jax.ShapeDtypeStruct(l.shape, jnp.float32)
+                     for l in lns])
+
+    outs = pl.pallas_call(
+        functools.partial(_vsr_bwd_kernel, meta),
+        grid=(_round_up(T, tile) // tile, K),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(rec, rayo, rays, attn, dfused, *S_mats, *wsp, *bsp, *lns)
+
+    drec = outs[0].astype(rec.dtype)
+    drayo = outs[1][:, :3].astype(rayo.dtype)
+    drays = outs[2][:, :3].astype(rays.dtype)
+    dattn = outs[3].astype(attn.dtype)
+    dws = tuple(outs[4 + i][:dims[i], :dims[i + 1]].astype(ws[i].dtype)
+                for i in range(n))
+    dbs = tuple(outs[4 + n + i][0, :dims[i + 1]].astype(bs[i].dtype)
+                for i in range(n))
+    j = 4 + 2 * n
+    dln_in = dln_out = None
+    if ln_in is not None:
+        dln_in = (outs[j][0, :dims[0]].astype(ln_in[0].dtype),
+                  outs[j + 1][0, :dims[0]].astype(ln_in[1].dtype))
+        j += 2
+    if ln_out is not None:
+        dln_out = (outs[j][0, :dims[-1]].astype(ln_out[0].dtype),
+                   outs[j + 1][0, :dims[-1]].astype(ln_out[1].dtype))
+    return drec, drayo, drays, dattn, dws, dbs, dln_in, dln_out
+
+
+value_stream_fuse_rec.defvjp(_vsr_fwd, _vsr_bwd)

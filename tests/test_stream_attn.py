@@ -213,14 +213,205 @@ def test_value_gradients_match_reference(T, K, tile, renorm):
                                        rtol=3e-4, atol=1e-6, err_msg=name)
 
 
+# ------------------------------------------------------- rec-native (v2) ----
+
+from papr_tpu.ops.stream_attn import (key_stream_scores_rec,
+                                      value_stream_fuse_rec)
+
+EPS = 1e-6
+
+
+def _rec_setup(key, T, K, extra_dim=0, rec_pad=128, dm=16, d_out=32,
+               norm="layernorm", n_layer=3):
+    ks = jax.random.split(key, 8)
+    ff_cfg = _ff_cfg(32, d_out, n_layer, norm)
+    rec = np.zeros((K, T, rec_pad), np.float32)
+    rec[..., 0:3] = np.asarray(jax.random.normal(ks[0], (K, T, 3))) * 2.0
+    rec[..., 3] = np.asarray(jax.random.normal(ks[1], (K, T))) * 0.5 + 1.0
+    rec[..., 4] = np.asarray(
+        jax.random.uniform(ks[2], (K, T)) > 0.2).astype(np.float32)
+    if extra_dim:
+        rec[..., 5:5 + extra_dim] = np.asarray(
+            jax.random.normal(ks[3], (K, T, extra_dim)))
+    rayo = jax.random.normal(ks[4], (T, 3), jnp.float32) * 3.0
+    rayd = jax.random.normal(ks[5], (T, 3), jnp.float32)
+    rays = rayd / jnp.linalg.norm(rayd, axis=-1, keepdims=True)
+    qq = jax.random.normal(ks[6], (T, dm), jnp.float32)
+    d_in = sum(3 + 3 * 2 * l for l in LS) + extra_dim
+    ff = feedforward_init(ks[7], d_in, d_out, ff_cfg)
+    wk = jax.random.normal(ks[0], (dm, d_out)) / np.sqrt(d_out)
+    bk = jax.random.normal(ks[1], (dm,)) * 0.1
+    return ff_cfg, ff, jnp.asarray(rec), rayo, rays, qq, wk, bk
+
+
+def _geometry(rec, rayo, rays):
+    sel = rec[..., 0:3]
+    v = sel - rayo
+    t_al = jnp.sum(v * rays, axis=-1, keepdims=True)
+    dd = jnp.sum(rays * rays, axis=-1, keepdims=True)
+    proj = rays * (t_al / (dd + EPS))
+    perp = v - proj
+    return sel, proj, perp
+
+
+def _rec_ref(ff_cfg, ff, rec, rayo, rays, qq, wk, bk, extra_dim=0,
+             score_act="relu", bkg=5.0):
+    """Oracle: XLA geometry + posenc + feedforward + score + softmax with
+    the reference's detached position feature."""
+    sel, proj, perp = _geometry(rec, rayo, rays)
+    feats = [jax.lax.stop_gradient(sel), proj, perp]
+    extras = [rec[..., 5:5 + extra_dim]] if extra_dim else None
+    enc = _encode(feats, LS, 1, PE[0], PE[1], extras)
+    ek = feedforward_apply(ff, enc, ff_cfg, ff_cfg.d_ff_out, 1e-6, F32)
+    kk = jnp.einsum("ktd,md->ktm", ek, wk) + bk
+    raw = jnp.einsum("ktm,tm->tk", kk.astype(jnp.float32), qq) \
+        / math.sqrt(wk.shape[0])
+    s = jnp.maximum(raw, 0.0) if score_act == "relu" else raw
+    s = s * rec[..., 3].T
+    s = jnp.where(rec[..., 4].T > 0.5, s, NEG_BIG)
+    allsc = jnp.concatenate([s, jnp.full(s.shape[:-1] + (1,), bkg)], -1)
+    return jax.nn.softmax(allsc, axis=-1)
+
+
+def _rec_stream(ff_cfg, ff, rec, rayo, rays, qq, wk, bk, extra_dim=0,
+                tile=32, compute=None):
+    ws = tuple(l["w"].T for l in ff["mlp"]["layers"])
+    bs = tuple(l["bias"] for l in ff["mlp"]["layers"])
+    ln_in, ln_out = _ff_lns(ff)
+    return key_stream_scores_rec(
+        rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk,
+        (LS, 1, PE[0], PE[1], extra_dim), ff_cfg.ff_act,
+        ff_cfg.ff_last_act, "relu", 5.0, EPS, tile, True, compute)
+
+
+@pytest.mark.parametrize("T,K,tile,norm,extra", [
+    (64, 7, 32, "layernorm", 0),
+    (100, 5, 32, "none", 0),         # overhang rows
+    (48, 6, 16, "layernorm", 8),     # pc-feats extras in the record
+])
+def test_rec_key_forward_matches_reference(T, K, tile, norm, extra):
+    a = _rec_setup(jax.random.PRNGKey(10), T, K, extra_dim=extra, norm=norm)
+    got = _rec_stream(*a, extra_dim=extra, tile=tile)
+    want = _rec_ref(*a, extra_dim=extra)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("T,K,tile,extra", [
+    (64, 6, 32, 0),
+    (90, 5, 32, 4),                  # overhang + extras
+])
+def test_rec_key_gradients_match_reference(T, K, tile, extra):
+    ff_cfg, ff, rec, rayo, rays, qq, wk, bk = _rec_setup(
+        jax.random.PRNGKey(11), T, K, extra_dim=extra)
+    ev = jax.random.normal(jax.random.PRNGKey(12), (K, T, 8))
+    tgt_f = jax.random.normal(jax.random.PRNGKey(13), (T, 8))
+    tgt_a = jax.random.normal(jax.random.PRNGKey(14), (T, 1))
+
+    def loss(attn_fn, ff, rec, rayo, rays, qq, wk, bk):
+        attn = attn_fn(ff_cfg, ff, rec, rayo, rays, qq, wk, bk,
+                       extra_dim=extra)
+        topk = attn[:, :-1]
+        topk = topk / jnp.sum(topk, axis=-1, keepdims=True)
+        fused = jnp.einsum("tk,ktc->tc", topk, ev)
+        return jnp.mean((fused - tgt_f) ** 2) + \
+            jnp.mean((attn[:, -1:] - tgt_a) ** 2)
+
+    st = lambda *a_, **kw: _rec_stream(*a_, tile=tile, **kw)
+    argnums = tuple(range(7))
+    args = (ff, rec, rayo, rays, qq, wk, bk)
+    gf = jax.grad(lambda *a_: loss(st, *a_), argnums)(*args)
+    gr = jax.grad(lambda *a_: loss(_rec_ref, *a_), argnums)(*args)
+    for name, a_, b_ in zip(["ff", "rec", "rayo", "rays", "qq", "wk", "bk"],
+                            gf, gr):
+        for la, lb in zip(jax.tree.leaves(a_), jax.tree.leaves(b_)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=3e-4, atol=1e-6, err_msg=name)
+
+
+def _vrec_ref(ff_cfg, ff, rec, rayo, rays, attn, extra_dim=0,
+              normalize=True):
+    _, proj, perp = _geometry(rec, rayo, rays)
+    feats = [proj, perp]
+    extras = [rec[..., 5:5 + extra_dim]] if extra_dim else None
+    enc = _encode(feats, VLS, 1, PE[0], PE[1], extras)
+    ev = feedforward_apply(ff, enc, ff_cfg, ff_cfg.d_ff_out, 1e-6, F32)
+    topk = attn[:, :-1]
+    if normalize:
+        topk = topk / jnp.sum(topk, axis=-1, keepdims=True)
+    return jnp.einsum("tk,ktc->tc", topk, ev.astype(jnp.float32))
+
+
+def _vrec_stream(ff_cfg, ff, rec, rayo, rays, attn, extra_dim=0,
+                 normalize=True, tile=32, compute=None):
+    ws = tuple(l["w"].T for l in ff["mlp"]["layers"])
+    bs = tuple(l["bias"] for l in ff["mlp"]["layers"])
+    ln_in, ln_out = _ff_lns(ff)
+    return value_stream_fuse_rec(
+        rec, rayo, rays, attn, ws, bs, ln_in, ln_out,
+        (VLS, 1, PE[0], PE[1], extra_dim), ff_cfg.ff_act,
+        ff_cfg.ff_last_act, normalize, EPS, tile, True, compute)
+
+
+def _vrec_setup(key, T, K, extra_dim=0, norm="layernorm"):
+    ff_cfg0, ff0, rec, rayo, rays, qq, wk, bk = _rec_setup(
+        key, T, K, extra_dim=extra_dim, norm=norm)
+    d_in = sum(3 + 3 * 2 * l for l in VLS) + extra_dim
+    ff_cfg = _ff_cfg(32, 24, 3, norm)
+    ff = feedforward_init(jax.random.split(key)[0], d_in, 24, ff_cfg)
+    attn = jax.nn.softmax(
+        jax.random.normal(jax.random.split(key)[1], (T, K + 1)), axis=-1)
+    return ff_cfg, ff, rec, rayo, rays, attn
+
+
+@pytest.mark.parametrize("T,K,tile,norm,extra,renorm", [
+    (64, 7, 32, "layernorm", 0, True),
+    (100, 5, 32, "none", 6, False),  # overhang + extras, no renorm
+])
+def test_rec_value_forward_matches_reference(T, K, tile, norm, extra,
+                                             renorm):
+    a = _vrec_setup(jax.random.PRNGKey(15), T, K, extra_dim=extra,
+                    norm=norm)
+    got = _vrec_stream(*a, extra_dim=extra, normalize=renorm, tile=tile)
+    want = _vrec_ref(*a, extra_dim=extra, normalize=renorm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("T,K,tile,extra,renorm", [
+    (64, 6, 32, 0, True),
+    (90, 5, 32, 4, False),
+])
+def test_rec_value_gradients_match_reference(T, K, tile, extra, renorm):
+    ff_cfg, ff, rec, rayo, rays, attn = _vrec_setup(
+        jax.random.PRNGKey(16), T, K, extra_dim=extra)
+    tgt = jax.random.normal(jax.random.PRNGKey(17), (T, ff_cfg.d_ff_out))
+
+    def loss(fn, ff, rec, rayo, rays, attn):
+        fused = fn(ff_cfg, ff, rec, rayo, rays, attn, extra_dim=extra,
+                   normalize=renorm)
+        return jnp.mean((fused - tgt) ** 2) + jnp.mean(attn[:, -1] ** 2)
+
+    args = (ff, rec, rayo, rays, attn)
+    gf = jax.grad(lambda *a: loss(
+        lambda *b, **kw: _vrec_stream(*b, tile=tile, **kw), *a),
+        tuple(range(5)))(*args)
+    gr = jax.grad(lambda *a: loss(_vrec_ref, *a), tuple(range(5)))(*args)
+    for name, a_, b_ in zip(["ff", "rec", "rayo", "rays", "attn"], gf, gr):
+        for la, lb in zip(jax.tree.leaves(a_), jax.tree.leaves(b_)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=3e-4, atol=1e-6, err_msg=name)
+
+
 # ------------------------------------------------------------ model level ----
 
-def test_stream_forward_matches_unfused_model_level():
+@pytest.mark.parametrize("mode", ["stream", "streamrec"])
+def test_stream_forward_matches_unfused_model_level(mode):
     from test_round2_fixes import _rays, tiny_cfg
     from papr_tpu.model.papr import create_model, forward
 
     cfg_off = tiny_cfg(tpu={"fused_attn": False})
-    cfg_on = tiny_cfg(tpu={"fused_attn": "stream"})
+    cfg_on = tiny_cfg(tpu={"fused_attn": mode})
     params, state = create_model(cfg_off, jax.random.PRNGKey(0))
     rayo, rayd, c2w = _rays(H=8, W=8)
 
@@ -229,14 +420,15 @@ def test_stream_forward_matches_unfused_model_level():
     np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-5)
 
 
-def test_stream_forward_with_point_feats_ink():
+@pytest.mark.parametrize("mode", ["stream", "streamrec"])
+def test_stream_forward_with_point_feats_ink(mode):
     """pc_feats with use_ink: extras ride the key stream as pass-through."""
     from test_round2_fixes import _rays, tiny_cfg
     from papr_tpu.model.papr import create_model, forward
 
-    over = {"geoms": {"point_feats": {"use_ink": True}}}
+    over = {"geoms": {"point_feats": {"use_ink": True, "use_inv": True}}}
     cfg_off = tiny_cfg(tpu={"fused_attn": False}, **over)
-    cfg_on = tiny_cfg(tpu={"fused_attn": "stream"}, **over)
+    cfg_on = tiny_cfg(tpu={"fused_attn": mode}, **over)
     params, state = create_model(cfg_off, jax.random.PRNGKey(0))
     rayo, rayd, c2w = _rays(H=8, W=8)
 
@@ -245,7 +437,8 @@ def test_stream_forward_with_point_feats_ink():
     np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-5)
 
 
-def test_stream_train_step_gradients_model_level():
+@pytest.mark.parametrize("mode", ["stream", "streamrec"])
+def test_stream_train_step_gradients_model_level(mode):
     from test_round2_fixes import _rays, tiny_cfg
     from papr_tpu.model.papr import create_model
     from papr_tpu.train.step import make_opt_state, make_train_step
@@ -254,7 +447,7 @@ def test_stream_train_step_gradients_model_level():
     target = np.random.default_rng(0).random((1, 8, 8, 3), np.float32)
 
     results = {}
-    for name, fa in (("off", False), ("stream", "stream")):
+    for name, fa in (("off", False), ("stream", mode)):
         cfg = tiny_cfg(tpu={"fused_attn": fa})
         params, state = create_model(cfg, jax.random.PRNGKey(0))
         opt = make_opt_state(cfg, params)

@@ -250,9 +250,10 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
             from ..ops.tile_cull import select_topk_culled
             M = int(cfg.get_path("tpu.cull_candidates", 2048))
             blk = int(cfg.get_path("tpu.cull_block", 16))
+            pf = str(cfg.get_path("tpu.cull_prefilter", "sort"))
             sel = lambda o, d: select_topk_culled(
                 points, alive, o, d.reshape(H, W, 3), k, M=M, block=blk,
-                eps=eps, interpret=interp)
+                eps=eps, interpret=interp, prefilter=pf)
         elif impl == "pallas":
             from ..ops.pallas_topk import pallas_select_topk
             sel = lambda o, d: pallas_select_topk(points, alive, o, d, k, eps,

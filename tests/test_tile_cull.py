@@ -99,3 +99,21 @@ def test_model_forward_consistent_across_impls():
     # small pixel-level differences allowed where near-tie selections differ
     close = np.isclose(outs["xla"], outs["cull"], rtol=1e-3, atol=1e-3)
     assert close.mean() > 0.995, close.mean()
+
+
+def test_culled_approx_prefilter_matches_exact_selection():
+    """tpu.cull_prefilter=approx: aggregate-reduction candidate prefilter
+    keeps selection identity (winners have the smallest lower bounds)."""
+    pts, alive, rayo, rayd = _camera_scene(dead=(100, 200))
+    k = 8
+    got = np.asarray(select_topk_culled(
+        jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
+        jnp.asarray(rayd), k, M=1024, block=16, interpret=True,
+        prefilter="approx"))
+    want = np.asarray(select_topk(
+        jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
+        jnp.asarray(rayd).reshape(-1, 3), k, chunk=512))
+    assert not np.isin(got, np.arange(100, 200)).any()
+    overlap = np.mean([len(set(got[i]) & set(want[i])) / k
+                       for i in range(got.shape[0])])
+    assert overlap > 0.99, overlap

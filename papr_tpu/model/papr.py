@@ -285,13 +285,13 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
                        for c in (e.key, e.query, e.value)))
     fa = cfg.get_path("tpu.fused_attn", "auto")
     if fa == "auto":
-        # Measured on v5e (160x160 patch, 30k pts, k=20, full train step):
-        # k-major split kernels 81.0 ms vs unfused 83.4 — auto is ON for
-        # real single-chip TPU runs ('stream' pending TPU measurement).
-        # Single-chip only: a multi-device mesh keeps the unfused XLA path
-        # (no GSPMD sharding rule for these pallas_calls).
-        fa = (fusible and jax.default_backend() == "tpu"
-              and jax.device_count() == 1)
+        # Measured on v5e (160x160 patch, 30k pts, k=20, full train step,
+        # fused_tile=512): rec-native stream 63.6 ms vs split kernels 81.1
+        # vs unfused 83.4 — auto is 'streamrec' for real single-chip TPU
+        # runs. Single-chip only: a multi-device mesh keeps the unfused XLA
+        # path (no GSPMD sharding rule for these pallas_calls).
+        fa = ("streamrec" if (fusible and jax.default_backend() == "tpu"
+                              and jax.device_count() == 1) else False)
     use_stream = fusible and fa in ("stream", "streamrec")
     use_embed_kernel = fusible and fa in (True, "embed")
     use_score_kernel = fusible and fa in (True, "score")

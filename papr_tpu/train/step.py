@@ -141,7 +141,7 @@ def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
 def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,
                       tile_w: int, policy=None, with_depth: bool = False,
                       gamma=None, beta=None, with_extras: bool = None,
-                      attention_only: bool = False):
+                      attention_only: bool = False, rgb_only: bool = False):
     """Tiled attention pass + one full-image UNet pass (reference
     train.py:29-87 / test.py:45-104). Returns dict of numpy arrays.
 
@@ -172,6 +172,11 @@ def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,
     fn = _full_render_fn(cfg, policy, extras)
     res = fn(params, state, jnp.asarray(rayo), jnp.asarray(tiles),
              gamma, beta)
+    if rgb_only and not extras:
+        # Frame delivery only: skip the foreground/bkg_attn host transfers
+        # (test-time artifacts) — they dominate frame latency on networked
+        # TPU setups (~2/3 of the fetched bytes).
+        return {"rgb": crop(res[0])}
     out = {"rgb": crop(res[0]), "foreground": crop(res[1]),
            "bkg_attn": crop(res[2])}
     if extras:

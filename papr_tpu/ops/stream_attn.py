@@ -884,7 +884,10 @@ def _ksr_fwd(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, enc_desc,
              act, last_act, score_act, bkg_score, eps, tile, interpret,
              compute):
     K, T, rec_pad = rec.shape
-    tile = min(tile, max(8, T))
+    # Forward holds no per-layer activations, so it runs at twice the
+    # backward's ray tile — fewer grid steps amortize the per-step VPU
+    # stages and DMA latency (measured win on v5e).
+    tile = min(2 * tile, max(8, T))
     (cdt, dims, pdims, S_mats, wsp, bsp, lns, kcfg) = _rec_prep(
         rec, ws, bs, ln_in, ln_out, enc_desc, True, act, last_act, tile,
         compute)
@@ -1122,7 +1125,7 @@ def value_stream_fuse_rec(rec, rayo, rays, attn, ws, bs, ln_in, ln_out,
 def _vsr_fwd(rec, rayo, rays, attn, ws, bs, ln_in, ln_out, enc_desc, act,
              last_act, normalize, eps, tile, interpret, compute):
     K, T, rec_pad = rec.shape
-    tile = min(tile, max(8, T))
+    tile = min(2 * tile, max(8, T))      # see _ksr_fwd
     (cdt, dims, pdims, S_mats, wsp, bsp, lns, vcfg) = _rec_prep(
         rec, ws, bs, ln_in, ln_out, enc_desc, False, act, last_act, tile,
         compute)

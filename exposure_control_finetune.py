@@ -163,7 +163,7 @@ def run(cfg, eval_cfg, sample_cfg, resume):
             params, opt_state, loss, pred = train_step(
                 params, opt_state, state, batch.rayo, batch.rayd, batch.image,
                 batch.c2w, step, shading_code=code)
-            avg_loss += float(loss)
+            avg_loss = avg_loss + loss   # device-side (see train/loop.py)
             step += 1
             eval_cnt += 1
 
@@ -176,7 +176,7 @@ def run(cfg, eval_cfg, sample_cfg, resume):
 
             if (step % cfg.eval.step == 0) or (step % 500 == 0 and step < 10000):
                 lrs = current_lrs(specs, step)
-                histories["train_losses"].append(avg_loss / eval_cnt)
+                histories["train_losses"].append(float(avg_loss) / eval_cnt)
                 histories["pt_lrs"].append(lrs.get("points", 0.0))
                 histories["attn_lrs"].append(lrs.get("attn", 0.0))
                 histories["steps"].append(step)

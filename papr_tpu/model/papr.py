@@ -250,7 +250,7 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
             from ..ops.tile_cull import select_topk_culled
             M = int(cfg.get_path("tpu.cull_candidates", 2048))
             blk = int(cfg.get_path("tpu.cull_block", 16))
-            pf = str(cfg.get_path("tpu.cull_prefilter", "sort"))
+            pf = str(cfg.get_path("tpu.cull_prefilter", "approx"))
             sel = lambda o, d: select_topk_culled(
                 points, alive, o, d.reshape(H, W, 3), k, M=M, block=blk,
                 eps=eps, interpret=interp, prefilter=pf)
@@ -453,7 +453,7 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
         kws = tuple(l["w"].T for l in kp["mlp"]["layers"])
         kbs = tuple(l["bias"] for l in kp["mlp"]["layers"])
         kln_in, kln_out = _ff_lns(kp)
-        tile = int(cfg.get_path("tpu.fused_tile", 256))
+        tile = int(cfg.get_path("tpu.fused_tile", 512))
         cdt_name = jnp.dtype(policy.compute_dtype).name
         if rec_native:
             attn = key_stream_scores_rec(

@@ -41,19 +41,11 @@ from jax.experimental import pallas as pl
 
 from .fused_attn import NEG_BIG, _linear, _score_act_fwd, _score_act_mask
 from .fused_mlp import (_cfg_tuple, _layout, _pad2, _pe_freq, _pe_freq_bwd,
-                        _round_up, _split_refs, _zero_lanes, walk_body_bwd,
-                        walk_body_fwd, walk_bwd, walk_fwd)
+                        _round_up, _row_mask_fix as _zero_rows, _split_refs,
+                        _zero_lanes, walk_body_bwd, walk_body_fwd, walk_bwd,
+                        walk_fwd)
 
 _LANE = 128
-
-
-def _zero_rows(x, tile, T):
-    """Zero rows past T (last-tile overhang reads undefined memory)."""
-    if T % tile == 0:
-        return x
-    row = pl.program_id(0) * tile + jax.lax.broadcasted_iota(
-        jnp.int32, x.shape, 0)
-    return jnp.where(row < T, x, 0)
 
 
 def _col_select(block, k):
@@ -430,7 +422,11 @@ def _vs_bwd_kernel(meta, xv_ref, attn_ref, dfused_ref, *refs):
             dfg = datt
         dattn_ref[:] = dfg
 
-    g = (w * dfused).astype(jnp.float32)
+    # Overhang rows have S = 0 (attn row-masked), so w is 0/0 = NaN there
+    # under normalize; re-mask AFTER the multiply or the NaN rows poison
+    # the cross-row dW/db/dLN accumulators. (Genuinely all-dead rays keep
+    # the unfused path's NaN semantics — those rows are < T.)
+    g = _zero_rows((w * dfused).astype(jnp.float32), tile, T)
 
     def acc(kind, i, val):
         accum({"w": dw_refs, "b": db_refs, "ln": dln_refs}[kind][i], val)
@@ -663,7 +659,7 @@ def _softmax_s(ss, bkg):
     return e / z, eb / z
 
 
-def _rec_encode(meta_enc, recb, rayo, rays, Srec_ref, Sproj_ref, Sperp_ref,
+def _rec_encode(recb, rayo, rays, Srec_ref, Sproj_ref, Sperp_ref,
                 rows_ref, eps):
     """Geometry + split-source posenc -> (enc, pe_saved, geometry saved)."""
     sel = _mask3(recb)
@@ -717,7 +713,7 @@ def _ksr_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, *refs):
     recb = rec_ref[0].astype(jnp.float32)
     rayo = _mask3(rayo_ref[:].astype(jnp.float32))
     rays = _mask3(rays_ref[:].astype(jnp.float32))
-    enc, _, _ = _rec_encode(meta, recb, rayo, rays, Srec, Sproj, Sperp,
+    enc, _, _ = _rec_encode(recb, rayo, rays, Srec, Sproj, Sperp,
                             rows_ref, eps)
     y, _, _, _ = walk_body_fwd(kcfg, enc, w_refs, b_refs, ln_refs)
     kk = _linear(y.astype(cdt), wk_ref, bk_ref, cdt)
@@ -784,7 +780,7 @@ def _ksr_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, raw_ref,
                  else ds_col * influ) / math.sqrt(dm)
 
     # Recompute this slice's encode + walk; backprop the whole chain.
-    enc, pe_saved, gsave = _rec_encode(meta, recb, rayo, rays, Srec, Sproj,
+    enc, pe_saved, gsave = _rec_encode(recb, rayo, rays, Srec, Sproj,
                                        Sperp, rows_ref, eps)
     y, hs, li, lo = walk_body_fwd(kcfg, enc, w_refs, b_refs, ln_refs)
     y_c = y.astype(cdt)
@@ -1019,7 +1015,7 @@ def _vsr_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, *refs):
     recb = rec_ref[0].astype(jnp.float32)
     rayo = _mask3(rayo_ref[:].astype(jnp.float32))
     rays = _mask3(rays_ref[:].astype(jnp.float32))
-    enc, _, _ = _rec_encode(meta, recb, rayo, rays, Srec, Sproj, Sperp,
+    enc, _, _ = _rec_encode(recb, rayo, rays, Srec, Sproj, Sperp,
                             rows_ref, eps)
     y, _, _, _ = walk_body_fwd(vcfg, enc, w_refs, b_refs, ln_refs)
     yc = y.astype(cdt).astype(jnp.float32)
@@ -1067,7 +1063,7 @@ def _vsr_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, dfused_ref,
     recb = _zero_rows(rec_ref[0].astype(jnp.float32), tile, T)
     rayo = _mask3(_zero_rows(rayo_ref[:].astype(jnp.float32), tile, T))
     rays = _mask3(_zero_rows(rays_ref[:].astype(jnp.float32), tile, T))
-    enc, pe_saved, gsave = _rec_encode(meta, recb, rayo, rays, Srec, Sproj,
+    enc, pe_saved, gsave = _rec_encode(recb, rayo, rays, Srec, Sproj,
                                        Sperp, rows_ref, eps)
     y, hs, li, lo = walk_body_fwd(vcfg, enc, w_refs, b_refs, ln_refs)
     yc = y.astype(cdt).astype(jnp.float32)
@@ -1088,7 +1084,7 @@ def _vsr_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, dfused_ref,
             dfg = datt
         dattn_ref[:] = dfg
 
-    g = (w * dfused).astype(jnp.float32)
+    g = _zero_rows((w * dfused).astype(jnp.float32), tile, T)  # see above
 
     def acc(kind, i, val):
         accum({"w": dw_refs, "b": db_refs, "ln": dln_refs}[kind][i], val)

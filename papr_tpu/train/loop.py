@@ -250,12 +250,20 @@ def _train_and_eval(cfg, eval_cfg, resume: int, plan):
             params, opt_state, loss, pred = train_step(
                 params, opt_state, state, batch.rayo, batch.rayd, batch.image,
                 batch.c2w, step)
-            avg_train_loss += float(loss)
+            # Accumulate ON DEVICE: float(loss) here would force a host
+            # readback (and a dispatch-pipeline stall) every step — ~28 ms
+            # through the axon tunnel, ~40% of the step wall clock. The
+            # 200-step print and the eval boundary sync instead.
+            avg_train_loss = avg_train_loss + loss
             rays_in_window += batch.rayd[..., 0].size
             step += 1
             eval_step_cnt += 1
 
             if step % 200 == 0:
+                # Hard sync on the full parameter state: a scalar readback
+                # alone does not reliably drain the dispatch queue through
+                # the axon tunnel, which makes the window rates fictional.
+                jax.block_until_ready(params)
                 dt = time.time() - start_time
                 lrs = current_lrs(specs, step)
                 print(f"Train step: {step} loss: {float(loss):.6f} "
@@ -268,7 +276,8 @@ def _train_and_eval(cfg, eval_cfg, resume: int, plan):
 
             if (step % cfg.eval.step == 0) or (step % 500 == 0 and step < 10000):
                 lrs = current_lrs(specs, step)
-                histories["train_losses"].append(avg_train_loss / eval_step_cnt)
+                histories["train_losses"].append(
+                    float(avg_train_loss) / eval_step_cnt)
                 histories["pt_lrs"].append(lrs.get("points", 0.0))
                 histories["attn_lrs"].append(lrs.get("attn", 0.0))
                 histories["steps"].append(step)

@@ -191,6 +191,8 @@ def test_value_forward_matches_reference(T, K, tile, norm, renorm):
 @pytest.mark.parametrize("T,K,tile,renorm", [
     (64, 6, 32, True),
     (90, 5, 32, False),              # overhang rows exercise dW row-masking
+    (90, 5, 32, True),               # overhang + renorm: 0/0 fuse weights on
+                                     # masked rows must not poison dW
 ])
 def test_value_gradients_match_reference(T, K, tile, renorm):
     ff_cfg, ff, xv, attn = _vsetup(jax.random.PRNGKey(8), T, K)
@@ -381,6 +383,7 @@ def test_rec_value_forward_matches_reference(T, K, tile, norm, extra,
 @pytest.mark.parametrize("T,K,tile,extra,renorm", [
     (64, 6, 32, 0, True),
     (90, 5, 32, 4, False),
+    (90, 5, 32, 0, True),            # overhang + renorm (see value test)
 ])
 def test_rec_value_gradients_match_reference(T, K, tile, extra, renorm):
     ff_cfg, ff, rec, rayo, rays, attn = _vrec_setup(

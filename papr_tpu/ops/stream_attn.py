@@ -1005,6 +1005,448 @@ def _ksr_bwd(enc_desc, act, last_act, score_act, bkg_score, eps, tile,
 key_stream_scores_rec.defvjp(_ksr_fwd, _ksr_bwd)
 
 
+# ------------------------------------------------- query-folded key stream ----
+#
+# Variant of the rec-native key kernel that also runs the QUERY chain
+# (posenc + embedder + w_q projection of the raw ray direction) in-kernel:
+# the k==0 step of each ray tile computes qq into a block-resident out
+# buffer (which doubles as the backward residual), the last k step
+# back-propagates the query walk from the VMEM-accumulated d_qq. Removes
+# the separate query embedder dispatches and the eq/qq/d_qq HBM round
+# trips entirely — with this, the only XLA ops between the record gather
+# and the fused features are the two stream kernels.
+
+from .fused_mlp import _posenc_plan
+
+
+def _q_prep(ws, bs, ln_in, ln_out, q_desc, act, last_act, cdt):
+    Ls, embed_type, factor, mult = q_desc
+    _, d0, S, rows = _posenc_plan((3,), tuple(int(l) for l in Ls),
+                                  int(embed_type), float(factor),
+                                  float(mult), 0)
+    dims = [d0] + [w.shape[1] for w in ws]
+    pdims = [_round_up(d, _LANE) for d in dims]
+    wsp = [_pad2(w.astype(cdt), pdims[i], pdims[i + 1])
+           for i, w in enumerate(ws)]
+    bsp = [_pad2(b.astype(jnp.float32)[None, :], 1, pdims[i + 1])
+           for i, b in enumerate(bs)]
+    lns = []
+    for ln, dp in ((ln_in, pdims[0]), (ln_out, pdims[-1])):
+        if ln is not None:
+            a, b = ln
+            lns += [_pad2(a.astype(jnp.float32)[None, :], 1, dp),
+                    _pad2(b.astype(jnp.float32)[None, :], 1, dp)]
+    qcfg = (len(ws), act, last_act, cdt, d0, d0, dims[-1], 0, 0,
+            False, ln_in is not None, ln_out is not None, 1e-6)
+    return dims, pdims, [jnp.asarray(S), jnp.asarray(rows)], wsp, bsp, lns, \
+        qcfg
+
+
+def _ksrq_split(meta, refs):
+    kcfg, qcfg = meta[0], meta[1]
+    n, k_li, k_lo = kcfg[0], kcfg[10], kcfg[11]
+    m, q_li, q_lo = qcfg[0], qcfg[10], qcfg[11]
+    i = 0
+    S_k = refs[i:i + 4]; i += 4
+    kw = refs[i:i + n]; i += n
+    kb = refs[i:i + n]; i += n
+    nkl = 2 * (k_li + k_lo)
+    kln = refs[i:i + nkl]; i += nkl
+    wk_ref, bk_ref = refs[i], refs[i + 1]; i += 2
+    S_q = refs[i:i + 2]; i += 2
+    qw = refs[i:i + m]; i += m
+    qb = refs[i:i + m]; i += m
+    nql = 2 * (q_li + q_lo)
+    qln = refs[i:i + nql]; i += nql
+    wq_ref, bq_ref = refs[i], refs[i + 1]; i += 2
+    return (S_k, kw, kb, kln, wk_ref, bk_ref, S_q, qw, qb, qln, wq_ref,
+            bq_ref, refs[i:])
+
+
+def _q_walk(qcfg, xq, Sq_refs, qw, qb, qln):
+    """Query walk on a PRE-MASKED (tile, 128) fp32 tile. Masking happens at
+    the caller's top level: pl.program_id (inside _zero_rows) cannot appear
+    inside a pl.when callback under interpret mode."""
+    xg = jnp.dot(xq, Sq_refs[0][:], preferred_element_type=jnp.float32)
+    enc, pe_saved = _pe_freq(xg, Sq_refs[1][:])
+    y, hs, li, lo = walk_body_fwd(qcfg, enc, qw, qb, qln)
+    return y, hs, li, lo, pe_saved
+
+
+def _ksrq_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, rayd_ref, *refs):
+    (kcfg, qcfg, K, dm, score_act, bkg, cdt, tile, T, eps) = meta
+    (Sk, kw, kb, kln, wk_ref, bk_ref, Sq, qw, qb, qln, wq_ref, bq_ref,
+     rest) = _ksrq_split(meta, refs)
+    (Srec, Sproj, Sperp, rows_ref) = Sk
+    attn_ref, raw_ref, ss_ref, qq_ref = rest
+    k = pl.program_id(1)
+
+    xq = _mask3(rayd_ref[:].astype(jnp.float32))
+
+    @pl.when(k == 0)
+    def _():
+        eq, _, _, _, _ = _q_walk(qcfg, xq, Sq, qw, qb, qln)
+        qq_ref[:] = _linear(eq.astype(cdt), wq_ref, bq_ref, cdt).astype(
+            qq_ref.dtype)
+
+    recb = rec_ref[0].astype(jnp.float32)
+    rayo = _mask3(rayo_ref[:].astype(jnp.float32))
+    rays = _mask3(rays_ref[:].astype(jnp.float32))
+    enc, _, _ = _rec_encode(recb, rayo, rays, Srec, Sproj, Sperp,
+                            rows_ref, eps)
+    y, _, _, _ = walk_body_fwd(kcfg, enc, kw, kb, kln)
+    kk = _linear(y.astype(cdt), wk_ref, bk_ref, cdt)
+    qq = _zero_lanes(qq_ref[:].astype(jnp.float32), dm)
+    col = jnp.sum(qq * kk, axis=1, keepdims=True) / math.sqrt(dm)
+
+    influ = _rec_lane(recb, _REC_INFLU)
+    alive = _rec_lane(recb, _REC_ALIVE) > 0.5
+    s_col = jnp.where(alive, _score_act_fwd(col, score_act) * influ, NEG_BIG)
+
+    raw = _col_update(jnp.where(k == 0, 0.0, raw_ref[:]), col, k)
+    raw_ref[:] = raw
+    ss = _col_update(jnp.where(k == 0, 0.0, ss_ref[:]), s_col, k)
+    ss_ref[:] = ss
+
+    @pl.when(k == K - 1)
+    def _():
+        attn_fg, attn_bkg = _softmax_s(ss, bkg)
+        attn_ref[:] = jnp.concatenate([attn_fg, attn_bkg], axis=1).astype(
+            attn_ref.dtype)
+
+
+def _ksrq_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, rayd_ref, qq_ref,
+                     raw_ref, ss_ref, dattn_ref, *args):
+    # d_qq accumulates in a block-resident OUT buffer (dqq_scr below): a
+    # VMEM scratch would be cheaper on paper, but interpret mode cannot
+    # lower program_id with scratch_shapes present, and the (T, dm) HBM
+    # write is noise.
+    (kcfg, qcfg, K, dm, score_act, bkg, cdt, tile, T, eps) = meta
+    n, m = kcfg[0], qcfg[0]
+    (Sk, kw, kb, kln, wk_ref, bk_ref, Sq, qw, qb, qln, wq_ref, bq_ref,
+     rest) = _ksrq_split(meta, args)
+    (Srec, Sproj, Sperp, rows_ref) = Sk
+    (drec_ref, drayo_ref, drays_ref, drayd_ref, dqq_scr, dwk_ref, dbk_ref,
+     dwq_ref, dbq_ref) = rest[0:9]
+    grads = rest[9:]
+    dkw, dkb = grads[:n], grads[n:2 * n]
+    nkl = 2 * (kcfg[10] + kcfg[11])
+    dkln = grads[2 * n:2 * n + nkl]
+    qgrads = grads[2 * n + nkl:]
+    dqw, dqb = qgrads[:m], qgrads[m:2 * m]
+    dqln = qgrads[2 * m:]
+    k = pl.program_id(1)
+    first = jnp.logical_and(pl.program_id(0) == 0, k == 0)
+    first_q = jnp.logical_and(pl.program_id(0) == 0, k == K - 1)
+
+    def mk_accum(cond):
+        def accum(ref, val):
+            @pl.when(cond)
+            def _():
+                ref[:] = val
+
+            @pl.when(jnp.logical_not(cond))
+            def _():
+                ref[:] += val
+        return accum
+
+    accum = mk_accum(first)
+    accum_q = mk_accum(first_q)
+
+    ss = _zero_rows(ss_ref[:].astype(jnp.float32), tile, T)
+    attn_fg, attn_bkg = _softmax_s(ss, bkg)
+    dattn = _zero_rows(dattn_ref[:], tile, T).astype(jnp.float32)
+    d_fg, d_bkg = dattn[:, :K], dattn[:, K:K + 1]
+    inner = jnp.sum(attn_fg * d_fg, axis=1, keepdims=True) + attn_bkg * d_bkg
+    ds = jnp.where(ss > 0.5 * NEG_BIG, attn_fg * (d_fg - inner), 0.0)
+
+    recb = _zero_rows(rec_ref[0].astype(jnp.float32), tile, T)
+    rayo = _mask3(_zero_rows(rayo_ref[:].astype(jnp.float32), tile, T))
+    rays = _mask3(_zero_rows(rays_ref[:].astype(jnp.float32), tile, T))
+    influ = _rec_lane(recb, _REC_INFLU)
+    raw_col = _col_select(_zero_rows(raw_ref[:].astype(jnp.float32),
+                                     tile, T), k)
+    sact_col = _score_act_fwd(raw_col, score_act)
+    ds_col = _col_select(ds, k)
+    d_influ_col = ds_col * sact_col
+    amask = _score_act_mask(sact_col, score_act)
+    d_raw_col = (ds_col * influ * amask if amask is not None
+                 else ds_col * influ) / math.sqrt(dm)
+
+    enc, pe_saved, gsave = _rec_encode(recb, rayo, rays, Srec, Sproj,
+                                       Sperp, rows_ref, eps)
+    y, hs, li, lo = walk_body_fwd(kcfg, enc, kw, kb, kln)
+    y_c = y.astype(cdt)
+    kk = _linear(y_c, wk_ref, bk_ref, cdt)
+    qq = _zero_lanes(_zero_rows(qq_ref[:], tile, T).astype(jnp.float32), dm)
+
+    contrib = d_raw_col * kk
+    dqq_scr[:] = jnp.where(k == 0, contrib, dqq_scr[:] + contrib)
+
+    dkk = d_raw_col * qq
+    dkk_c = dkk.astype(cdt)
+    accum(dwk_ref, jax.lax.dot_general(
+        y_c, dkk_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    accum(dbk_ref, jnp.sum(dkk, axis=0, keepdims=True))
+    g = jax.lax.dot_general(dkk_c, wk_ref[:], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+    def acc_k(kind, i, val):
+        accum({"w": dkw, "b": dkb, "ln": dkln}[kind][i], val)
+
+    g = walk_body_bwd(kcfg, g, hs, li, lo, kw, acc_k)
+    d_rec, d_rayo, d_rays = _rec_decode_bwd(g, pe_saved, gsave, rays, Srec,
+                                            Sproj, Sperp, eps,
+                                            detach_pos=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, d_rec.shape, 1)
+    d_rec = d_rec + jnp.where(lane == _REC_INFLU, d_influ_col, 0.0)
+    drec_ref[0] = d_rec.astype(drec_ref.dtype)
+    drayo_ref[:] = jnp.where(k == 0, d_rayo, drayo_ref[:] + d_rayo).astype(
+        drayo_ref.dtype)
+    drays_ref[:] = jnp.where(k == 0, d_rays, drays_ref[:] + d_rays).astype(
+        drays_ref.dtype)
+
+    xq = _mask3(_zero_rows(rayd_ref[:].astype(jnp.float32), tile, T))
+
+    @pl.when(k == K - 1)
+    def _():
+        # Query backward once per tile, from the VMEM-accumulated d_qq.
+        eq, hs_q, li_q, lo_q, pe_q = _q_walk(qcfg, xq, Sq, qw, qb, qln)
+        dqq = _zero_lanes(dqq_scr[:], dm)
+        dqq_c = dqq.astype(cdt)
+        accum_q(dwq_ref, jax.lax.dot_general(
+            eq.astype(cdt), dqq_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        accum_q(dbq_ref, jnp.sum(dqq, axis=0, keepdims=True))
+        g_q = jax.lax.dot_general(dqq_c, wq_ref[:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+        def acc_q(kind, i, val):
+            accum_q({"w": dqw, "b": dqb, "ln": dqln}[kind][i], val)
+
+        g_q = walk_body_bwd(qcfg, g_q, hs_q, li_q, lo_q, qw, acc_q)
+        d_xgq = _pe_freq_bwd(g_q, pe_q)
+        drayd_ref[:] = jax.lax.dot_general(
+            d_xgq, Sq[0][:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(drayd_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=tuple(range(16, 28)))
+def key_stream_scores_recq(rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out,
+                           wk, bk, qws, qbs, qln_in, qln_out, wq, bq,
+                           k_desc=None, q_desc=None, kact="relu",
+                           klast="none", qact="relu", qlast="none",
+                           score_act="relu", bkg_score=5.0, eps=1e-6,
+                           tile=256, interpret=False, compute=None):
+    """key_stream_scores_rec with the QUERY chain folded in.
+
+    rayd: (T, 3) fp32 RAW (unnormalized) ray directions — the query
+    feature (attention.py q_feats). q_desc: (q_L, embed_type, pe_factor,
+    pe_mult). Returns attn (T, K+1) fp32.
+    """
+    out, _ = _ksrq_fwd(rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out,
+                       wk, bk, qws, qbs, qln_in, qln_out, wq, bq, k_desc,
+                       q_desc, kact, klast, qact, qlast, score_act,
+                       bkg_score, eps, tile, interpret, compute)
+    return out
+
+
+def _ksrq_layout(rec, kws, kbs, kln_in, kln_out, wk, bk, qws, qbs, qln_in,
+                 qln_out, wq, bq, k_desc, q_desc, kact, klast, qact, qlast,
+                 tile, compute):
+    (cdt, kdims, kpdims, S_k, kwsp, kbsp, klns, kcfg) = _rec_prep(
+        rec, kws, kbs, kln_in, kln_out, k_desc, True, kact, klast, tile,
+        compute)
+    (qdims, qpdims, S_q, qwsp, qbsp, qlns, qcfg) = _q_prep(
+        qws, qbs, qln_in, qln_out, q_desc, qact, qlast, cdt)
+    dm = wk.shape[0]
+    dm_pad = _round_up(dm, _LANE)
+    wkT = _pad2(wk.astype(cdt).T, kpdims[-1], dm_pad)
+    bk2 = _pad2(bk.astype(jnp.float32)[None, :], 1, dm_pad)
+    wqT = _pad2(wq.astype(cdt).T, qpdims[-1], dm_pad)
+    bq2 = _pad2(bq.astype(jnp.float32)[None, :], 1, dm_pad)
+    return (cdt, kdims, kpdims, S_k, kwsp, kbsp, klns, kcfg, qdims, qpdims,
+            S_q, qwsp, qbsp, qlns, qcfg, dm, dm_pad, wkT, bk2, wqT, bq2)
+
+
+def _ksrq_param_specs(n, kpdims, S_k, klns, m, qpdims, S_q, qlns, dm_pad,
+                      const):
+    return (_rec_param_specs(n, kpdims, S_k, klns, const)
+            + [pl.BlockSpec((kpdims[-1], dm_pad), const),
+               pl.BlockSpec((1, dm_pad), const)]
+            + [pl.BlockSpec(s.shape, const) for s in S_q]
+            + [pl.BlockSpec((qpdims[i], qpdims[i + 1]), const)
+               for i in range(m)]
+            + [pl.BlockSpec((1, qpdims[i + 1]), const) for i in range(m)]
+            + [pl.BlockSpec(l.shape, const) for l in qlns]
+            + [pl.BlockSpec((qpdims[-1], dm_pad), const),
+               pl.BlockSpec((1, dm_pad), const)])
+
+
+def _ksrq_fwd(rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out, wk, bk,
+              qws, qbs, qln_in, qln_out, wq, bq, k_desc, q_desc, kact,
+              klast, qact, qlast, score_act, bkg_score, eps, tile,
+              interpret, compute):
+    K, T, rec_pad = rec.shape
+    tile = min(2 * tile, max(8, T))      # see _ksr_fwd
+    (cdt, kdims, kpdims, S_k, kwsp, kbsp, klns, kcfg, qdims, qpdims, S_q,
+     qwsp, qbsp, qlns, qcfg, dm, dm_pad, wkT, bk2, wqT,
+     bq2) = _ksrq_layout(rec, kws, kbs, kln_in, kln_out, wk, bk, qws, qbs,
+                         qln_in, qln_out, wq, bq, k_desc, q_desc, kact,
+                         klast, qact, qlast, tile, compute)
+    meta = (kcfg, qcfg, K, dm, score_act, float(bkg_score), cdt, tile, T,
+            float(eps))
+    const = lambda t, k: (0, 0)
+    trow = lambda t, k: (t, 0)
+    in_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, _LANE), trow)]
+                + _ksrq_param_specs(len(kws), kpdims, S_k, klns, len(qws),
+                                    qpdims, S_q, qlns, dm_pad, const))
+
+    attn, raw, ss, qq = pl.pallas_call(
+        functools.partial(_ksrq_fwd_kernel, meta),
+        grid=(_round_up(T, tile) // tile, K),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((tile, K + 1), trow),
+                   pl.BlockSpec((tile, K), trow),
+                   pl.BlockSpec((tile, K), trow),
+                   pl.BlockSpec((tile, dm_pad), trow)],
+        out_shape=[jax.ShapeDtypeStruct((T, K + 1), jnp.float32),
+                   jax.ShapeDtypeStruct((T, K), jnp.float32),
+                   jax.ShapeDtypeStruct((T, K), jnp.float32),
+                   jax.ShapeDtypeStruct((T, dm_pad), jnp.float32)],
+        interpret=interpret,
+    )(rec, rayo, rays, rayd, *S_k, *kwsp, *kbsp, *klns, wkT, bk2,
+      *S_q, *qwsp, *qbsp, *qlns, wqT, bq2)
+    return attn, (rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out, wk, bk,
+                  qws, qbs, qln_in, qln_out, wq, bq, raw, ss, qq)
+
+
+def _ksrq_bwd(k_desc, q_desc, kact, klast, qact, qlast, score_act,
+              bkg_score, eps, tile, interpret, compute, res, dattn):
+    (rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out, wk, bk, qws, qbs,
+     qln_in, qln_out, wq, bq, raw, ss, qq) = res
+    K, T, rec_pad = rec.shape
+    n, m = len(kws), len(qws)
+    tile = min(tile, max(8, T))
+    (cdt, kdims, kpdims, S_k, kwsp, kbsp, klns, kcfg, qdims, qpdims, S_q,
+     qwsp, qbsp, qlns, qcfg, dm, dm_pad, wkT, bk2, wqT,
+     bq2) = _ksrq_layout(rec, kws, kbs, kln_in, kln_out, wk, bk, qws, qbs,
+                         qln_in, qln_out, wq, bq, k_desc, q_desc, kact,
+                         klast, qact, qlast, tile, compute)
+    meta = (kcfg, qcfg, K, dm, score_act, float(bkg_score), cdt, tile, T,
+            float(eps))
+    const = lambda t, k: (0, 0)
+    trow = lambda t, k: (t, 0)
+    in_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, _LANE), trow),
+                 pl.BlockSpec((tile, dm_pad), trow),   # qq residual
+                 pl.BlockSpec((tile, K), trow),        # raw
+                 pl.BlockSpec((tile, K), trow),        # ss
+                 pl.BlockSpec((tile, K + 1), trow)]    # dattn
+                + _ksrq_param_specs(n, kpdims, S_k, klns, m, qpdims, S_q,
+                                    qlns, dm_pad, const))
+
+    out_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
+                  pl.BlockSpec((tile, rec_pad), trow),
+                  pl.BlockSpec((tile, rec_pad), trow),
+                  pl.BlockSpec((tile, _LANE), trow),
+                  pl.BlockSpec((tile, dm_pad), trow),    # d_qq accumulator
+                  pl.BlockSpec((kpdims[-1], dm_pad), const),
+                  pl.BlockSpec((1, dm_pad), const),
+                  pl.BlockSpec((qpdims[-1], dm_pad), const),
+                  pl.BlockSpec((1, dm_pad), const)]
+                 + [pl.BlockSpec((kpdims[i], kpdims[i + 1]), const)
+                    for i in range(n)]
+                 + [pl.BlockSpec((1, kpdims[i + 1]), const)
+                    for i in range(n)]
+                 + [pl.BlockSpec(l.shape, const) for l in klns]
+                 + [pl.BlockSpec((qpdims[i], qpdims[i + 1]), const)
+                    for i in range(m)]
+                 + [pl.BlockSpec((1, qpdims[i + 1]), const)
+                    for i in range(m)]
+                 + [pl.BlockSpec(l.shape, const) for l in qlns])
+    out_shapes = ([jax.ShapeDtypeStruct((K, T, rec_pad), rec.dtype),
+                   jax.ShapeDtypeStruct((T, rec_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((T, rec_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((T, _LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((T, dm_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((kpdims[-1], dm_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, dm_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((qpdims[-1], dm_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, dm_pad), jnp.float32)]
+                  + [jax.ShapeDtypeStruct((kpdims[i], kpdims[i + 1]),
+                                          jnp.float32) for i in range(n)]
+                  + [jax.ShapeDtypeStruct((1, kpdims[i + 1]), jnp.float32)
+                     for i in range(n)]
+                  + [jax.ShapeDtypeStruct(l.shape, jnp.float32)
+                     for l in klns]
+                  + [jax.ShapeDtypeStruct((qpdims[i], qpdims[i + 1]),
+                                          jnp.float32) for i in range(m)]
+                  + [jax.ShapeDtypeStruct((1, qpdims[i + 1]), jnp.float32)
+                     for i in range(m)]
+                  + [jax.ShapeDtypeStruct(l.shape, jnp.float32)
+                     for l in qlns])
+
+    outs = pl.pallas_call(
+        functools.partial(_ksrq_bwd_kernel, meta),
+        grid=(_round_up(T, tile) // tile, K),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(rec, rayo, rays, rayd, qq, raw, ss, dattn, *S_k, *kwsp, *kbsp,
+      *klns, wkT, bk2, *S_q, *qwsp, *qbsp, *qlns, wqT, bq2)
+
+    drec = outs[0].astype(rec.dtype)
+    drayo = outs[1][:, :3].astype(rayo.dtype)
+    drays = outs[2][:, :3].astype(rays.dtype)
+    drayd = outs[3][:, :3].astype(rayd.dtype)
+    dwk = outs[5][:kdims[-1], :dm].T.astype(wk.dtype)
+    dbk = outs[6][0, :dm].astype(bk.dtype)
+    dwq = outs[7][:qdims[-1], :dm].T.astype(wq.dtype)
+    dbq = outs[8][0, :dm].astype(bq.dtype)
+    j = 9
+    dkws = tuple(outs[j + i][:kdims[i], :kdims[i + 1]].astype(kws[i].dtype)
+                 for i in range(n))
+    dkbs = tuple(outs[j + n + i][0, :kdims[i + 1]].astype(kbs[i].dtype)
+                 for i in range(n))
+    j += 2 * n
+    dkln_in = dkln_out = None
+    if kln_in is not None:
+        dkln_in = (outs[j][0, :kdims[0]].astype(kln_in[0].dtype),
+                   outs[j + 1][0, :kdims[0]].astype(kln_in[1].dtype))
+        j += 2
+    if kln_out is not None:
+        dkln_out = (outs[j][0, :kdims[-1]].astype(kln_out[0].dtype),
+                    outs[j + 1][0, :kdims[-1]].astype(kln_out[1].dtype))
+        j += 2
+    dqws = tuple(outs[j + i][:qdims[i], :qdims[i + 1]].astype(qws[i].dtype)
+                 for i in range(m))
+    dqbs = tuple(outs[j + m + i][0, :qdims[i + 1]].astype(qbs[i].dtype)
+                 for i in range(m))
+    j += 2 * m
+    dqln_in = dqln_out = None
+    if qln_in is not None:
+        dqln_in = (outs[j][0, :qdims[0]].astype(qln_in[0].dtype),
+                   outs[j + 1][0, :qdims[0]].astype(qln_in[1].dtype))
+        j += 2
+    if qln_out is not None:
+        dqln_out = (outs[j][0, :qdims[-1]].astype(qln_out[0].dtype),
+                    outs[j + 1][0, :qdims[-1]].astype(qln_out[1].dtype))
+    return (drec, drayo, drays, drayd, dkws, dkbs, dkln_in, dkln_out, dwk,
+            dbk, dqws, dqbs, dqln_in, dqln_out, dwq, dbq)
+
+
+key_stream_scores_recq.defvjp(_ksrq_fwd, _ksrq_bwd)
+
+
 def _vsr_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, *refs):
     (vcfg, K, normalize, cdt, tile, T, eps) = meta
     (Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, ln_refs, rest = \

@@ -406,6 +406,98 @@ def test_rec_value_gradients_match_reference(T, K, tile, extra, renorm):
                                        rtol=3e-4, atol=1e-6, err_msg=name)
 
 
+# ----------------------------------------------------- query-folded (recq) ----
+
+from papr_tpu.ops.stream_attn import key_stream_scores_recq
+
+QLS = (2,)
+
+
+def _recq_setup(key, T, K, extra_dim=0, dm=16, norm="layernorm"):
+    ff_cfg, kff, rec, rayo, rays, _, wk, bk = _rec_setup(
+        key, T, K, extra_dim=extra_dim, dm=dm, norm=norm)
+    ks = jax.random.split(key, 4)
+    rayd = jax.random.normal(ks[0], (T, 3), jnp.float32)
+    q_in = sum(3 + 3 * 2 * l for l in QLS)
+    qff_cfg = _ff_cfg(32, 24, 2, norm)
+    qff = feedforward_init(ks[1], q_in, 24, qff_cfg)
+    wq = jax.random.normal(ks[2], (dm, 24)) / np.sqrt(24)
+    bq = jax.random.normal(ks[3], (dm,)) * 0.1
+    return ff_cfg, qff_cfg, kff, qff, rec, rayo, rays, rayd, wk, bk, wq, bq
+
+
+def _recq_ref(ff_cfg, qff_cfg, kff, qff, rec, rayo, rays, rayd, wk, bk, wq,
+              bq, extra_dim=0):
+    enc_q = _encode([rayd], QLS, 1, PE[0], PE[1], None)
+    eq = feedforward_apply(qff, enc_q, qff_cfg, qff_cfg.d_ff_out, 1e-6, F32)
+    qq = (jnp.einsum("td,md->tm", eq, wq) + bq).astype(jnp.float32)
+    return _rec_ref(ff_cfg, kff, rec, rayo, rays, qq, wk, bk,
+                    extra_dim=extra_dim)
+
+
+def _recq_stream(ff_cfg, qff_cfg, kff, qff, rec, rayo, rays, rayd, wk, bk,
+                 wq, bq, extra_dim=0, tile=32, compute=None):
+    kws = tuple(l["w"].T for l in kff["mlp"]["layers"])
+    kbs = tuple(l["bias"] for l in kff["mlp"]["layers"])
+    kln_in, kln_out = _ff_lns(kff)
+    qws = tuple(l["w"].T for l in qff["mlp"]["layers"])
+    qbs = tuple(l["bias"] for l in qff["mlp"]["layers"])
+    qln_in, qln_out = _ff_lns(qff)
+    return key_stream_scores_recq(
+        rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out, wk, bk,
+        qws, qbs, qln_in, qln_out, wq, bq,
+        (LS, 1, PE[0], PE[1], extra_dim), (QLS, 1, PE[0], PE[1]),
+        ff_cfg.ff_act, ff_cfg.ff_last_act, qff_cfg.ff_act,
+        qff_cfg.ff_last_act, "relu", 5.0, EPS, tile, True, compute)
+
+
+@pytest.mark.parametrize("T,K,tile,norm,extra", [
+    (64, 7, 32, "layernorm", 0),
+    (100, 5, 32, "none", 0),         # overhang rows
+    (48, 1, 16, "layernorm", 8),     # K=1: query fwd/bwd on the same step
+])
+def test_recq_forward_matches_reference(T, K, tile, norm, extra):
+    a = _recq_setup(jax.random.PRNGKey(20), T, K, extra_dim=extra,
+                    norm=norm)
+    got = _recq_stream(*a, extra_dim=extra, tile=tile)
+    want = _recq_ref(*a, extra_dim=extra)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("T,K,tile,extra", [
+    (64, 6, 32, 0),
+    (90, 5, 32, 4),                  # overhang + extras
+])
+def test_recq_gradients_match_reference(T, K, tile, extra):
+    (ff_cfg, qff_cfg, kff, qff, rec, rayo, rays, rayd, wk, bk, wq,
+     bq) = _recq_setup(jax.random.PRNGKey(21), T, K, extra_dim=extra)
+    ev = jax.random.normal(jax.random.PRNGKey(22), (K, T, 8))
+    tgt_f = jax.random.normal(jax.random.PRNGKey(23), (T, 8))
+    tgt_a = jax.random.normal(jax.random.PRNGKey(24), (T, 1))
+
+    def loss(fn, kff, qff, rec, rayo, rays, rayd, wk, bk, wq, bq):
+        attn = fn(ff_cfg, qff_cfg, kff, qff, rec, rayo, rays, rayd, wk,
+                  bk, wq, bq, extra_dim=extra)
+        topk = attn[:, :-1]
+        topk = topk / jnp.sum(topk, axis=-1, keepdims=True)
+        fused = jnp.einsum("tk,ktc->tc", topk, ev)
+        return jnp.mean((fused - tgt_f) ** 2) + \
+            jnp.mean((attn[:, -1:] - tgt_a) ** 2)
+
+    st = lambda *a_, **kw: _recq_stream(*a_, tile=tile, **kw)
+    args = (kff, qff, rec, rayo, rays, rayd, wk, bk, wq, bq)
+    argnums = tuple(range(10))
+    gf = jax.grad(lambda *a_: loss(st, *a_), argnums)(*args)
+    gr = jax.grad(lambda *a_: loss(_recq_ref, *a_), argnums)(*args)
+    names = ["kff", "qff", "rec", "rayo", "rays", "rayd", "wk", "bk",
+             "wq", "bq"]
+    for name, a_, b_ in zip(names, gf, gr):
+        for la, lb in zip(jax.tree.leaves(a_), jax.tree.leaves(b_)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=3e-4, atol=1e-6, err_msg=name)
+
+
 # ------------------------------------------------------------ model level ----
 
 @pytest.mark.parametrize("mode", ["stream", "streamrec"])

@@ -1332,7 +1332,10 @@ def _ksrq_bwd(k_desc, q_desc, kact, klast, qact, qlast, score_act,
      qln_in, qln_out, wq, bq, raw, ss, qq) = res
     K, T, rec_pad = rec.shape
     n, m = len(kws), len(qws)
-    tile = min(tile, max(8, T))
+    # The folded backward carries the query walk's state (hs, weights,
+    # grads, the qq residual) on top of the key walk's: 18.1 MB scoped VMEM
+    # at ray tile 512 on the flagship shapes. 384 fits the 16 MB budget.
+    tile = min(tile, 384, max(8, T))
     (cdt, kdims, kpdims, S_k, kwsp, kbsp, klns, kcfg, qdims, qpdims, S_q,
      qwsp, qbsp, qlns, qcfg, dm, dm_pad, wkT, bk2, wqT,
      bq2) = _ksrq_layout(rec, kws, kbs, kln_in, kln_out, wk, bk, qws, qbs,

@@ -72,7 +72,7 @@ def embed_kqv(params: dict, attn_cfg, k_features, q_features, v_features,
               policy: Policy = F32, remat: bool = False,
               dropout_rng: jax.Array | None = None, fused: bool = False,
               fused_interpret: bool = False, skip_k: bool = False,
-              skip_v: bool = False, skip_q: bool = False):
+              skip_v: bool = False):
     """Run the three geometric embedders -> (embed_k, embed_q, embed_v).
 
     Inputs are lists of geometric features shaped (..., K, d_i) (query:
@@ -105,8 +105,7 @@ def embed_kqv(params: dict, attn_cfg, k_features, q_features, v_features,
 
     k = (None if skip_k else
          run(params["embed_k"], k_features, e.k_L, k_extra, e.key, rngs[0]))
-    q = (None if skip_q else
-         run(params["embed_q"], q_features, e.q_L, q_extra, e.query, rngs[1]))
+    q = run(params["embed_q"], q_features, e.q_L, q_extra, e.query, rngs[1])
     v = (None if skip_v else
          run(params["embed_v"], v_features, e.v_L, v_extra, e.value, rngs[2]))
     return k, q, v

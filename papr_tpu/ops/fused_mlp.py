@@ -184,7 +184,15 @@ def _pe_freq_bwd(g, pe_saved):
 
 def _pe_stage(xf, S, rows):
     """x_raw (tile, n_raw_pad) fp32 -> encoded (tile, d0_pad) fp32; also
-    returns what the backward needs."""
+    returns what the backward needs.
+
+    PRECISION NOTE: the 0/1 selection matmuls deliberately ride the backend
+    default. On real TPUs Mosaic's fp32 dot does NOT truncate the
+    phase-sensitive posenc inputs (verified 2e-5 fused-vs-unfused on v5e
+    hardware), and forcing Precision.HIGHEST costs ~11 ms/step (17%) on the
+    flagship workload. Interpret mode (CPU tests) is exact fp32 under the
+    pinned CPU backend; an ambient low-precision jax matmul config would
+    make interpret-mode results diverge — pin the backend, not HIGHEST."""
     xg = jnp.dot(xf, S, preferred_element_type=jnp.float32)
     return _pe_freq(xg, rows)
 

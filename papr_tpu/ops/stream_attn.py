@@ -41,7 +41,8 @@ from jax.experimental import pallas as pl
 
 from .fused_attn import NEG_BIG, _linear, _score_act_fwd, _score_act_mask
 from .fused_mlp import (_cfg_tuple, _layout, _pad2, _pe_freq, _pe_freq_bwd,
-                        _round_up, _row_mask_fix as _zero_rows, _split_refs,
+                        _posenc_plan, _round_up,
+                        _row_mask_fix as _zero_rows, _split_refs,
                         _zero_lanes, walk_body_bwd, walk_body_fwd, walk_bwd,
                         walk_fwd)
 
@@ -664,6 +665,8 @@ def _rec_encode(recb, rayo, rays, Srec_ref, Sproj_ref, Sperp_ref,
     """Geometry + split-source posenc -> (enc, pe_saved, geometry saved)."""
     sel = _mask3(recb)
     proj, perp, gsave = _geom_fwd(sel, rayo, rays, eps)
+    # Selection matmuls ride the backend default (precision note in
+    # fused_mlp._pe_stage: HIGHEST costs 17%/step for no hardware benefit).
     xg = (jnp.dot(recb, Srec_ref[:], preferred_element_type=jnp.float32)
           + jnp.dot(proj, Sproj_ref[:], preferred_element_type=jnp.float32)
           + jnp.dot(perp, Sperp_ref[:], preferred_element_type=jnp.float32))
@@ -1016,9 +1019,6 @@ key_stream_scores_rec.defvjp(_ksr_fwd, _ksr_bwd)
 # trips entirely — with this, the only XLA ops between the record gather
 # and the fused features are the two stream kernels.
 
-from .fused_mlp import _posenc_plan
-
-
 def _q_prep(ws, bs, ln_in, ln_out, q_desc, act, last_act, cdt):
     Ls, embed_type, factor, mult = q_desc
     _, d0, S, rows = _posenc_plan((3,), tuple(int(l) for l in Ls),
@@ -1117,6 +1117,8 @@ def _ksrq_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, rayd_ref, *refs):
 
 def _ksrq_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, rayd_ref, qq_ref,
                      raw_ref, ss_ref, dattn_ref, *args):
+    # MAINTENANCE: the key-side chain below mirrors _ksr_bwd_kernel — apply
+    # masking/numerics fixes to BOTH kernels (tests use different shapes).
     # d_qq accumulates in a block-resident OUT buffer (dqq_scr below): a
     # VMEM scratch would be cheaper on paper, but interpret mode cannot
     # lower program_id with scratch_shapes present, and the (T, dm) HBM

@@ -468,6 +468,8 @@ def test_recq_forward_matches_reference(T, K, tile, norm, extra):
 @pytest.mark.parametrize("T,K,tile,extra", [
     (64, 6, 32, 0),
     (90, 5, 32, 4),                  # overhang + extras
+    (48, 1, 16, 0),                  # K=1: query fwd AND bwd on the same
+                                     # grid step (init == accumulate)
 ])
 def test_recq_gradients_match_reference(T, K, tile, extra):
     (ff_cfg, qff_cfg, kff, qff, rec, rayo, rays, rayd, wk, bk, wq,

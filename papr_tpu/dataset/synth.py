@@ -123,8 +123,16 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="./data/demo_sphere")
     ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--height", type=int, default=0,
+                    help="image height (overrides --size; e.g. 1280 for the "
+                         "Tanks&Temples native shape)")
+    ap.add_argument("--width", type=int, default=0,
+                    help="image width (overrides --size; e.g. 2176 for t2)")
     ap.add_argument("--n_train", type=int, default=6)
+    ap.add_argument("--n_test", type=int, default=2)
     ap.add_argument("--format", choices=["synthetic", "t2"], default="synthetic")
     args = ap.parse_args()
+    H = args.height or args.size
+    W = args.width or args.size
     fn = make_demo_scene if args.format == "synthetic" else make_demo_scene_t2
-    print(fn(args.out, n_train=args.n_train, H=args.size, W=args.size))
+    print(fn(args.out, n_train=args.n_train, n_test=args.n_test, H=H, W=W))

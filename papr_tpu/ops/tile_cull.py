@@ -17,9 +17,16 @@ kappa = k-th smallest UB; since admissible == {LB <= kappa} is itself a
 smallest-LB prefix, taking the M smallest LB directly selects the same
 candidate superset — and drops one (T,P) lax.top_k (a full sort on TPU,
 ~2.8 ms + pad fusions at 30k pts) plus the UB bound math per step.)
-The M-candidate cap (tpu.cull_candidates) truncates by smallest LB;
-overflow beyond M is the only approximation (plus the pack quantization
-shared with ops/pallas_topk.py).
+Approximation sources (three, stacked when tpu.cull_prefilter='approx'):
+  1. the M-candidate cap (tpu.cull_candidates) truncates by smallest LB;
+  2. with prefilter='approx', the candidate prefilter itself uses
+     jax.lax.approx_min_k (recall tpu.cull_recall, default 0.99) instead of
+     a full per-tile sort, so a true candidate can miss the set even below
+     the M cap;
+  3. the 16-bit pack quantization shared with ops/pallas_topk.py can swap
+     near-ties.
+Eval paths default to the exact 'sort' prefilter (papr.py _attend
+``exact_select``) so rendered metrics never ride the approx stack.
 
 Pipeline:
   1. (XLA) per tile: center ray, cos(delta); bounds via one (T,3)x(3,P)
@@ -131,12 +138,13 @@ def _cull_kernel(rays_ref, f_ref, recs_ref, out_ref, best_scr, work_scr,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "M", "block", "interpret",
-                                    "prefilter"))
+                                    "prefilter", "recall_target"))
 def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
                        rays_o: jnp.ndarray, rays_d_hw: jnp.ndarray, k: int,
                        M: int = 2048, block: int = 16, eps: float = 1e-6,
                        interpret: bool = False,
-                       prefilter: str = "sort") -> jnp.ndarray:
+                       prefilter: str = "sort",
+                       recall_target: float = 0.99) -> jnp.ndarray:
     """points (P,3), alive (P,), rays_o (3,), rays_d_hw (H,W,3) ->
     (H*W, k) int32 global indices (row-major ray order)."""
     assert M % CAND_CHUNK == 0 or M < CAND_CHUNK
@@ -185,7 +193,8 @@ def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
         # approximate reduction returns most reliably; recall loss only
         # touches the candidate-set boundary, which the M-cap already
         # truncates (tested: selection identity vs exact stays >99%).
-        _, cand_idx = jax.lax.approx_min_k(LB, take, recall_target=0.99)
+        _, cand_idx = jax.lax.approx_min_k(LB, take,
+                                           recall_target=recall_target)
     else:
         _, cand_idx = jax.lax.top_k(-LB, take)           # (T, take) smallest LB
     if take < Mp:                                        # tiny clouds: pad

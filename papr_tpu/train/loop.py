@@ -32,10 +32,30 @@ from .step import make_train_step, render_full_image
 
 
 def build_loss(cfg, policy=None):
-    """Loss factory with a graceful LPIPS fallback when weights are absent."""
+    """Loss factory with an LPIPS fallback when converted weights are absent.
+
+    The reference recipe always trains with mse + 1e-2*LPIPS(VGG)
+    (reference configs/default.yml:170-173). When no converted torchvision
+    backbone exists, ``tpu.lpips_fallback`` decides:
+      * "random" (default): deterministic random VGG weights (PRNGKey(0))
+        — identical architecture/FLOPs, reproducible across runs, and the
+        perceptual term still regularizes local structure;
+      * "drop": zero the lpips weight (round-2 behavior).
+    """
     try:
         return get_loss(cfg.training.losses, policy=policy)
     except FileNotFoundError as e:
+        mode = str(cfg.get_path("tpu.lpips_fallback", "random"))
+        if mode == "random":
+            import jax
+            from ..model.lpips_jax import random_lpips_params
+            print(f"WARNING: {e}\nWARNING: using DETERMINISTIC RANDOM VGG "
+                  "weights (seed 0) for the lpips term — identical FLOPs and "
+                  "reproducible, but not the pretrained perceptual metric "
+                  "(tpu.lpips_fallback: drop to disable the term instead).")
+            lp = random_lpips_params(jax.random.PRNGKey(0))
+            return get_loss(cfg.training.losses, lpips_params=lp,
+                            policy=policy)
         print(f"WARNING: {e}\nWARNING: continuing WITHOUT the lpips loss term.")
         losses = {k: (0.0 if k.startswith("lpips") else v)
                   for k, v in dict(cfg.training.losses).items()}

@@ -53,7 +53,8 @@ def make_train_step(cfg, loss_fn=None, sharding=None, donate: bool = True):
         def compute_loss(p):
             out = forward(p, state, cfg, rayo, rayd, c2w,
                           shading_code=shading_code, policy=policy,
-                          dropout_rng=dropout_rng)
+                          dropout_rng=dropout_rng,
+                          mesh=sharding.mesh if sharding is not None else None)
             out = last_act(out)
             if sharding is not None:
                 out = jax.lax.with_sharding_constraint(out, sharding.replicated)
@@ -76,7 +77,7 @@ def make_opt_state(cfg, params):
 # ---------------------------------------------------------------- rendering --
 
 def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
-                    _cache={}):
+                    rgb8: bool = False, _cache={}):
     """One jitted dispatch for the COMPLETE full-image render: tiled
     attention pass (lax.map sequences tiles device-side, bounding memory like
     the reference's python tile loop, train.py:59-67), untiling, the
@@ -87,7 +88,7 @@ def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
     # The cfg object itself is kept in the cache value: a live reference
     # guarantees id(cfg) is never recycled for a different config, so a
     # long-lived process can't hit a stale jitted closure.
-    key = (id(cfg), extras, run_unet)
+    key = (id(cfg), extras, run_unet, rgb8)
     if key not in _cache:
         meta = model_meta(cfg)
 
@@ -130,6 +131,11 @@ def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
             else:
                 rgb = fg + bkg * bkg_attn
             rgb = build_activation(cfg.models.last_act)(rgb[..., 0, :])
+            if rgb8:
+                # Display/PNG payload: quantize on device so the host fetch
+                # is 4x smaller (frame delivery, not a metrics path).
+                rgb = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(
+                    jnp.uint8)
             if extras:
                 return rgb, fg[..., 0, :], bkg_attn[..., 0, :], fused, attn, untile(s)
             return rgb, fg[..., 0, :], bkg_attn[..., 0, :]
@@ -141,13 +147,16 @@ def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
 def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,
                       tile_w: int, policy=None, with_depth: bool = False,
                       gamma=None, beta=None, with_extras: bool = None,
-                      attention_only: bool = False, rgb_only: bool = False):
+                      attention_only: bool = False, rgb_only: bool = False,
+                      rgb_uint8: bool = False):
     """Tiled attention pass + one full-image UNet pass (reference
     train.py:29-87 / test.py:45-104). Returns dict of numpy arrays.
 
     By default only rgb/foreground/bkg_attn cross back to the host; pass
     ``with_depth``/``with_extras`` for fused features, attention and
-    selected-point outputs (large transfers)."""
+    selected-point outputs (large transfers). ``rgb_uint8`` quantizes the
+    frame to uint8 on device (the PNG/display payload — 4x smaller host
+    fetch; metrics paths keep the fp32 frame)."""
     policy = policy or policy_from_config(cfg)
     N, H, W, _ = rayd.shape
     extras = bool(with_extras) or with_depth
@@ -169,7 +178,7 @@ def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,
             out["depth"] = attention_depth(np.asarray(rayo),
                                            out["selected"], out["attn"])
         return out
-    fn = _full_render_fn(cfg, policy, extras)
+    fn = _full_render_fn(cfg, policy, extras, rgb8=rgb_uint8 and not extras)
     res = fn(params, state, jnp.asarray(rayo), jnp.asarray(tiles),
              gamma, beta)
     if rgb_only and not extras:

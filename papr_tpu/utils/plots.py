@@ -28,7 +28,7 @@ def _fig_to_image(fig) -> Image.Image:
 
 def influence_colors(weights: np.ndarray) -> np.ndarray:
     """Red-blue ramp by normalized influence (reference utils.py:80-86)."""
-    w = weights.astype(np.float64)
+    w = np.asarray(weights).reshape(-1).astype(np.float64)
     rng = w.max() - w.min()
     w = (w - w.min()) / (rng if rng > 0 else 1.0)
     colors = np.ones((len(w), 3))
@@ -89,20 +89,47 @@ def training_main_plot(index: str, steps, train_tgt_rgb, train_tgt_patch,
 
 def pcd_plot(index: str, step: int, rayo, rayd, points, coord_scale,
              pt_plot_scale, influ_scores=None) -> Image.Image:
-    """4-view point cloud + ray frustum (reference utils.py:161-251)."""
-    fig = plt.figure(figsize=(16, 4))
-    colors = influence_colors(influ_scores) if influ_scores is not None else None
-    views = [(30, a) for a in (0, 90, 180, 270)]
-    for i, (elev, azim) in enumerate(views):
-        ax = fig.add_subplot(1, 4, i + 1, projection="3d")
-        ax.scatter(points[:, 0], points[:, 1], points[:, 2], s=0.5, c=colors)
-        if rayo is not None:
-            ax.scatter([rayo[0]], [rayo[1]], [rayo[2]], s=20, c="g", marker="^")
+    """Training point-cloud panel (reference utils.py:161-251): four 3D views
+    (elev 0 at azim 90/180/270 plus the near-top 'View 1 Up'), each with the
+    camera origin (red) and the central ray direction (blue quiver), colored
+    by influence score; plus influence-score scatter and histogram panels
+    when scores are given (reference panels 5-6)."""
+    n = 6 if influ_scores is not None else 4
+    fig = plt.figure(figsize=(5 * n, 6))
+    colors = ("orange" if influ_scores is None
+              else influence_colors(influ_scores))
+    views = [(0.0, 90, "Point Cloud View 1"),
+             (0.0, 180, "Point Cloud View 2"),
+             (0.0, 270, "Point Cloud View 3"),
+             (89.9, 90, "Point Cloud View 1 Up")]
+    for i, (elev, azim, title) in enumerate(views):
+        ax = fig.add_subplot(1, n, i + 1, projection="3d")
         ax.view_init(elev=elev, azim=azim)
         ax.set_xlim(-pt_plot_scale, pt_plot_scale)
         ax.set_ylim(-pt_plot_scale, pt_plot_scale)
         ax.set_zlim(-pt_plot_scale, pt_plot_scale)
-    fig.suptitle(f"{index} pcd @ {step} ({points.shape[0]} pts)")
+        ax.set_xlabel("x"); ax.set_ylabel("y"); ax.set_zlabel("z")
+        ax.scatter(points[:, 0], points[:, 1], points[:, 2], c=colors,
+                   s=0.8 * coord_scale)
+        if rayo is not None:
+            ro = np.asarray(rayo).reshape(-1)[:3]
+            ax.scatter([ro[0]], [ro[1]], [ro[2]], c="red", s=10)
+            if rayd is not None:
+                rd = np.asarray(rayd)
+                H, W = rd.shape[0], rd.shape[1]
+                c = rd[H // 2, W // 2]
+                ax.quiver(ro[0], ro[1], ro[2], c[0], c[1], c[2],
+                          length=2, alpha=1, color="blue")
+        ax.set_title(title)
+    if influ_scores is not None:
+        scores = np.asarray(influ_scores).reshape(-1)
+        ax = fig.add_subplot(1, n, 5)
+        ax.scatter(range(len(scores)), scores)
+        ax.set_title("Confidence Scores scatter plot")
+        ax = fig.add_subplot(1, n, 6)
+        ax.hist(scores, bins=np.linspace(-1, 1, 100).tolist())
+        ax.set_title("Confidence Scores histogram")
+    fig.suptitle(f"Point Clouds\n{index}\niter {step}")
     return _fig_to_image(fig)
 
 

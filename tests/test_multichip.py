@@ -83,6 +83,99 @@ def test_mesh_train_with_prune_grow(scene, tmp_path_factory):
     assert tl8 == tl8 and el8 == el8  # finite, parsed
 
 
+def test_attend_spmd_kernel_path_parity():
+    """The Pallas fast path (streamrec kernels + cull top-k, interpret mode
+    on CPU) under shard_map over a (2, 4) mesh must match the single-device
+    local trace exactly (fwd) and to reduction-order noise (grads).
+
+    This is VERDICT r2 #1: multi-chip runs must keep the measured kernel
+    path instead of demoting to unfused XLA."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from papr_tpu.config import load_config
+    from papr_tpu.model.papr import _attend, _attend_spmd, create_model
+    from papr_tpu.nn.mlp import policy_from_config
+    from papr_tpu.parallel.mesh import make_mesh
+
+    cfg = load_config(overrides={
+        "use_amp": False, "max_num_pts": 256,
+        "geoms": {"points": {"init_num": 200, "select_k": 8}},
+        "dataset": {"batch_size": 2, "patches": {"height": 16, "width": 16}},
+        "tpu": {"fused_attn": "streamrec", "topk_impl": "cull",
+                "mesh": {"data": 2, "rays": 4}},
+    })
+    policy = policy_from_config(cfg)
+    params, state = create_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    rayo = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32) * 3.0)
+    rayd = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    rayd /= np.linalg.norm(rayd, axis=-1, keepdims=True)
+    rayd = jnp.asarray(rayd)
+    mesh = make_mesh(2, 4)
+
+    def loss_of(fused, attn):
+        return jnp.sum(fused ** 2) + jnp.sum(attn[..., -1] ** 2)
+
+    def ref_loss(p, s):
+        f, a, _, _ = _attend(p, s, cfg, rayo, rayd, policy, remat=False,
+                             local=True)
+        return loss_of(f, a)
+
+    def spmd_loss(p, s):
+        f, a, _, _ = _attend_spmd(p, s, cfg, rayo, rayd, policy, False, mesh)
+        return loss_of(f, a)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        f_ref, a_ref, _, i_ref = jax.jit(
+            lambda p, s: _attend(p, s, cfg, rayo, rayd, policy, remat=False,
+                                 local=True))(params, state)
+        g_ref = jax.jit(jax.grad(ref_loss))(params, state)
+    with jax.set_mesh(mesh):
+        f_sp, a_sp, _, i_sp = jax.jit(
+            lambda p, s: _attend_spmd(p, s, cfg, rayo, rayd, policy,
+                                      False, mesh))(params, state)
+        g_sp = jax.jit(jax.grad(spmd_loss))(params, state)
+
+    assert bool(jnp.all(i_ref == i_sp)), "selection changed under shard_map"
+    assert float(jnp.max(jnp.abs(f_ref - f_sp))) < 1e-5
+    assert float(jnp.max(jnp.abs(a_ref - a_sp))) < 1e-6
+    worst = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g_ref, g_sp)))
+    assert worst < 1e-4, worst
+
+
+def test_mesh_kernel_path_train_matches_single_device(scene, tmp_path_factory):
+    """The real train.py CLI with the kernel path pinned explicitly
+    (streamrec + cull): the 8-device mesh run (kernels inside shard_map)
+    must match the 1-device kernel run's losses."""
+    common = {"dataset": {"batch_size": 2},
+              "training": {"prune_steps": 0, "add_steps": 0}}
+    kern = {"fused_attn": "streamrec", "topk_impl": "cull"}
+
+    tmp1 = tmp_path_factory.mktemp("krun1")
+    cfg1 = _write_cfg(tmp1, scene, **common, tpu=kern)
+    out1 = _run_train(cfg1, 1)
+
+    tmp8 = tmp_path_factory.mktemp("krun8")
+    cfg8 = _write_cfg(tmp8, scene, **common,
+                      tpu={**kern, "mesh": {"data": 2, "rays": 4}})
+    out8 = _run_train(cfg8, 8)
+
+    s1, tl1, el1 = _final_eval_losses(out1)
+    s8, tl8, el8 = _final_eval_losses(out8)
+    assert s1 == s8
+    assert tl8 == pytest.approx(tl1, rel=1e-4, abs=1e-6)
+    # eval renders fall back to unfused XLA on the multi-device run (no
+    # sharded render path); kernel-vs-XLA is itself parity-tested, so only
+    # loose agreement is asserted here.
+    assert el8 == pytest.approx(el1, rel=1e-3, abs=1e-5)
+
+
 def test_mesh_divisibility_errors(scene, tmp_path):
     cfg = _write_cfg(tmp_path, scene,  # batch_size defaults to 1: not % 2
                      tpu={"mesh": {"data": 2, "rays": 4}})

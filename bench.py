@@ -83,23 +83,32 @@ def bench_render():
     rayo, rayd = get_rays_np(side, side, 700.0 * side / 800, 700.0 * side / 800,
                              c2w[None])
 
-    # Frame delivery = the rgb image as the display/PNG payload (uint8,
-    # quantized on device); tile 800 = one device dispatch. The fp32-fetch
-    # variant is reported alongside (same device compute, 4x the host
-    # transfer) so the two methodologies stay comparable.
+    # Frame delivery = c2w in, uint8 RGB out (render_frame: on-device ray
+    # generation, one dispatch, quantized payload — the serving path). The
+    # fp32-fetch render_full_image variant is reported alongside (host rays
+    # uploaded + fp32 frame fetched) so older methodologies stay comparable.
+    from papr_tpu.train.step import render_frame
     tile = 160 if small else 800
+    focal = 700.0 * side / 800
 
-    def frame(n, **kw):
+    def frame8(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            render_frame(params, state, cfg, c2w, focal, focal, side, side,
+                         tile, tile)
+        return (time.perf_counter() - t0) / n
+
+    def frame32(n):
         t0 = time.perf_counter()
         for _ in range(n):
             render_full_image(params, state, cfg, rayo, rayd, tile, tile,
-                              rgb_only=True, **kw)
+                              rgb_only=True)
         return (time.perf_counter() - t0) / n
 
-    frame(1, rgb_uint8=True)            # compile
-    fps8 = 1.0 / frame(3, rgb_uint8=True)
-    frame(1)                            # compile fp32 variant
-    fps32 = 1.0 / frame(3)
+    frame8(1)                           # compile
+    fps8 = 1.0 / frame8(3)
+    frame32(1)                          # compile fp32 variant
+    fps32 = 1.0 / frame32(3)
     print(json.dumps({"metric": f"render_{side}x{side}_fps",
                       "value": round(fps8, 3), "unit": "frames/s",
                       "fp32_fetch_fps": round(fps32, 3)}))

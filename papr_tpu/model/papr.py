@@ -261,6 +261,10 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
     points = params["points"]
     alive = state["alive"]
     # Potentially GSPMD-partitioned trace: no pallas_call may be emitted.
+    # tpu.force_local is the documented escape hatch ("this trace runs on one
+    # device even though more are visible" — plain-jit callers, kernel parity
+    # tests on the forced-8-device CPU host).
+    local = local or bool(cfg.get_path("tpu.force_local", False))
     multi = jax.device_count() > 1 and not local
 
     if k >= P or k < 0:

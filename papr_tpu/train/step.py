@@ -90,58 +90,118 @@ def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
     # long-lived process can't hit a stale jitted closure.
     key = (id(cfg), extras, run_unet, rgb8)
     if key not in _cache:
-        meta = model_meta(cfg)
-
         @jax.jit
         def fn(params, state, rayo, rayd_tiles, gamma=None, beta=None):
-            N, ty, tx, th, tw, _ = rayd_tiles.shape
-            flat = rayd_tiles.reshape(N, ty * tx, th, tw, 3)
-
-            def per_image(args):
-                o, tiles = args
-
-                def one_tile(rd):
-                    fused, attn, sel = evaluate(
-                        params, state, cfg, o[None], rd[None],
-                        policy=policy, with_selected=True)
-                    return fused[0], attn[0], sel[0]
-
-                return jax.lax.map(one_tile, tiles)
-
-            f, a, s = jax.lax.map(per_image, (rayo, flat))
-
-            def untile(x):
-                x = x.reshape(N, ty, tx, th, tw, *x.shape[4:])
-                x = jnp.moveaxis(x, 2, 3)
-                return x.reshape(N, ty * th, tx * tw, *x.shape[5:])
-
-            fused = untile(f)          # (N, Hp, Wp, 1, C)
-            attn = untile(a)           # (N, Hp, Wp, k+1, 1)
-            if not run_unet:           # attention-only (cIMLE resampling)
-                return fused, attn, untile(s)
-            if meta.use_renderer:
-                fg = render_foreground(params, cfg, fused[..., 0, :],
-                                       gamma, beta, policy)[..., None, :]
-            else:
-                fg = fused
-            bkg_attn = attn[..., -1:, :]
-            bkg = params["bkg_feats"][0]
-            if cfg.models.normalize_topk_attn:
-                rgb = fg * (1 - bkg_attn) + bkg * bkg_attn
-            else:
-                rgb = fg + bkg * bkg_attn
-            rgb = build_activation(cfg.models.last_act)(rgb[..., 0, :])
-            if rgb8:
-                # Display/PNG payload: quantize on device so the host fetch
-                # is 4x smaller (frame delivery, not a metrics path).
-                rgb = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(
-                    jnp.uint8)
-            if extras:
-                return rgb, fg[..., 0, :], bkg_attn[..., 0, :], fused, attn, untile(s)
-            return rgb, fg[..., 0, :], bkg_attn[..., 0, :]
+            return _tiled_render_body(params, state, cfg, policy, rayo,
+                                      rayd_tiles, gamma, beta, extras,
+                                      run_unet, rgb8)
 
         _cache[key] = (cfg, fn)
     return _cache[key][1]
+
+
+def _tiled_render_body(params, state, cfg, policy, rayo, rayd_tiles,
+                       gamma, beta, extras: bool, run_unet: bool, rgb8: bool):
+    """Tiled attention pass + full-image UNet + composite, all device-side
+    (traced under the caller's jit)."""
+    meta = model_meta(cfg)
+    N, ty, tx, th, tw, _ = rayd_tiles.shape
+    flat = rayd_tiles.reshape(N, ty * tx, th, tw, 3)
+
+    def per_image(args):
+        o, tiles = args
+
+        def one_tile(rd):
+            fused, attn, sel = evaluate(
+                params, state, cfg, o[None], rd[None],
+                policy=policy, with_selected=True)
+            return fused[0], attn[0], sel[0]
+
+        return jax.lax.map(one_tile, tiles)
+
+    f, a, s = jax.lax.map(per_image, (rayo, flat))
+
+    def untile(x):
+        x = x.reshape(N, ty, tx, th, tw, *x.shape[4:])
+        x = jnp.moveaxis(x, 2, 3)
+        return x.reshape(N, ty * th, tx * tw, *x.shape[5:])
+
+    fused = untile(f)          # (N, Hp, Wp, 1, C)
+    attn = untile(a)           # (N, Hp, Wp, k+1, 1)
+    if not run_unet:           # attention-only (cIMLE resampling)
+        return fused, attn, untile(s)
+    if meta.use_renderer:
+        fg = render_foreground(params, cfg, fused[..., 0, :],
+                               gamma, beta, policy)[..., None, :]
+    else:
+        fg = fused
+    bkg_attn = attn[..., -1:, :]
+    bkg = params["bkg_feats"][0]
+    if cfg.models.normalize_topk_attn:
+        rgb = fg * (1 - bkg_attn) + bkg * bkg_attn
+    else:
+        rgb = fg + bkg * bkg_attn
+    rgb = build_activation(cfg.models.last_act)(rgb[..., 0, :])
+    if rgb8:
+        # Display/PNG payload: quantize on device so the host fetch
+        # is 4x smaller (frame delivery, not a metrics path).
+        rgb = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    if extras:
+        return rgb, fg[..., 0, :], bkg_attn[..., 0, :], fused, attn, untile(s)
+    return rgb, fg[..., 0, :], bkg_attn[..., 0, :]
+
+
+def _frame_fn(cfg, policy, H: int, W: int, tile_h: int, tile_w: int,
+              _cache={}):
+    """Fully-device frame pipeline: c2w + focal in (16 + 2 floats up the
+    wire), uint8 RGB out. Ray generation (reference dataset/utils.py:81-96
+    pixel-center convention), edge-padded tiling, attention, UNet, composite
+    and quantization all run in ONE jit — nothing image-sized crosses
+    host->device, which matters on networked TPU setups where the per-frame
+    rayd upload would otherwise rival the device time."""
+    key = (id(cfg), H, W, tile_h, tile_w)
+    if key not in _cache:
+        ph = -(-H // tile_h) * tile_h - H
+        pw = -(-W // tile_w) * tile_w - W
+        Hp, Wp = H + ph, W + pw
+        ty, tx = Hp // tile_h, Wp // tile_w
+
+        @jax.jit
+        def fn(params, state, c2w, focal):
+            x = (jnp.arange(W, dtype=jnp.float32) - W / 2 + 0.5) / focal[0]
+            y = -(jnp.arange(H, dtype=jnp.float32) - H / 2 + 0.5) / focal[1]
+            dirs = jnp.stack([
+                jnp.broadcast_to(x[None, :], (H, W)),
+                jnp.broadcast_to(y[:, None], (H, W)),
+                jnp.full((H, W), -1.0, jnp.float32)], axis=-1)
+            rayd = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], dirs)
+            rayd = rayd / jnp.linalg.norm(rayd, axis=-1, keepdims=True)
+            rayo = c2w[:3, -1][None]                        # (1, 3)
+            rayd = jnp.pad(rayd, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            tiles = rayd.reshape(ty, tile_h, tx, tile_w, 3).transpose(
+                0, 2, 1, 3, 4)[None]                        # (1,ty,tx,th,tw,3)
+            rgb = _tiled_render_body(params, state, cfg, policy, rayo,
+                                     tiles, None, None, False, True, True)[0]
+            return rgb[0, :H, :W]
+
+        _cache[key] = (cfg, fn)
+    return _cache[key][1]
+
+
+def render_frame(params, state, cfg, c2w, focal_x: float, focal_y: float,
+                 H: int, W: int, tile_h: int = 0, tile_w: int = 0,
+                 policy=None) -> np.ndarray:
+    """One-call frame delivery: (4,4) c2w -> uint8 (H, W, 3) RGB.
+
+    The serving-path analogue of ``render_full_image`` (which keeps the
+    host-ray interface for dataset-driven eval): rays are generated on
+    device from the camera matrix, so the only per-frame upload is the
+    camera pose."""
+    policy = policy or policy_from_config(cfg)
+    fn = _frame_fn(cfg, policy, H, W, tile_h or H, tile_w or W)
+    focal = np.asarray([focal_x, focal_y], np.float32)
+    return np.asarray(fn(params, state, jnp.asarray(np.asarray(c2w).astype(
+        np.float32)), jnp.asarray(focal)))
 
 
 def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,

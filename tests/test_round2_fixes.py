@@ -23,6 +23,9 @@ def tiny_cfg(**over):
             "query": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2},
             "value": {"d_ff": 16, "d_ff_out": 8, "n_ff_layer": 3}}}},
         "training": {"losses": {"mse": 1.0, "lpips": 0.0, "lpips_alex": 0.0}},
+        # single-device semantics on the forced-8-device CPU test host, so
+        # explicit fused_attn/topk_impl settings reach the kernels
+        "tpu": {"force_local": True},
     }
     merge_config(overrides, over)
     return load_config(overrides=overrides)

@@ -83,6 +83,37 @@ def test_cull_recall_knob_reaches_kernel():
     assert overlap > 0.9, overlap
 
 
+def test_render_frame_matches_host_ray_render():
+    """render_frame (device-side ray generation from c2w) must reproduce
+    render_full_image over host-generated rays exactly (same pixel-center
+    convention, same tiling, uint8 output)."""
+    from papr_tpu.train.step import render_frame, render_full_image
+
+    cfg = load_config(overrides={
+        "use_amp": False, "max_num_pts": 300,
+        "geoms": {"points": {"select_k": 4, "init_num": 300}},
+        "models": {"attn": {"d_model": 16, "embed": {
+            "k_L": [2, 2, 2], "q_L": [2], "v_L": [2, 2],
+            "key": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2},
+            "query": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2},
+            "value": {"d_ff": 16, "d_ff_out": 32, "n_ff_layer": 2}}}},
+        "tpu": {"ray_chunk": 512},
+    })
+    params, state = create_model(cfg, jax.random.PRNGKey(0))
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.3, -0.2, 2.5]
+    H = W = 24
+    fx = fy = 30.0
+    rayo, rayd = get_rays_np(H, W, fx, fy, c2w[None])
+
+    want = render_full_image(params, state, cfg, rayo, rayd, 16, 16,
+                             rgb_only=True, rgb_uint8=True)["rgb"][0]
+    got = render_frame(params, state, cfg, c2w, fx, fy, H, W, 16, 16)
+    assert got.dtype == np.uint8 and got.shape == (H, W, 3)
+    # identical tiling/convention: allow 1-count quantization wobble
+    assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 1
+
+
 def test_build_loss_lpips_random_fallback():
     """With lpips weight > 0 and no converted VGG asset, build_loss keeps the
     term alive with deterministic random weights (the reference recipe always

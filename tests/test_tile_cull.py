@@ -82,7 +82,8 @@ def test_model_forward_consistent_across_impls():
                 "query": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2},
                 "value": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2}}}},
             "tpu": {"topk_impl": impl, "ray_chunk": 512,
-                    "cull_candidates": 256, "cull_block": 16},
+                    "cull_candidates": 256, "cull_block": 16,
+                    "force_local": True},
         })
 
     params, state = create_model(cfg_with("xla"), jax.random.PRNGKey(0))

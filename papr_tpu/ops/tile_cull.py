@@ -57,13 +57,26 @@ RAY_TILE = 256
 CAND_CHUNK = 2048
 
 
-def tile_rays(rays_d: jnp.ndarray, block: int = 16):
-    """(H, W, 3) -> (T, RAY_TILE, 3) pixel-block tiles + metadata.
+def _chunk_for(tr: int) -> int:
+    """Candidate-chunk size for a given ray-tile size.
 
-    H/W are padded to block multiples; block*block must equal RAY_TILE.
+    The kernel's working set is the (TR, chunk) packed-distance scratch;
+    keep it at the tuned 256x2048 footprint (2 MB int32) so bigger eval
+    tiles (block=32 -> TR=1024) don't overflow the 16 MB VMEM scope.
+    Floor 512 keeps the chunk lane-aligned and the fori_loop short.
+    """
+    return max(512, (RAY_TILE * CAND_CHUNK) // tr)
+
+
+def tile_rays(rays_d: jnp.ndarray, block: int = 16):
+    """(H, W, 3) -> (T, block*block, 3) pixel-block tiles + metadata.
+
+    H/W are padded to block multiples. Bigger blocks mean fewer tiles (the
+    candidate-prefilter sort scales with the tile count) but looser cones
+    (the per-tile candidate cap must cover more rays).
     """
     H, W, _ = rays_d.shape
-    assert block * block == RAY_TILE
+    TR = block * block
     ph = -(-H // block) * block - H
     pw = -(-W // block) * block - W
     padded = jnp.pad(rays_d, ((0, ph), (0, pw), (0, 0)),
@@ -71,7 +84,7 @@ def tile_rays(rays_d: jnp.ndarray, block: int = 16):
     Hp, Wp = H + ph, W + pw
     by, bx = Hp // block, Wp // block
     tiles = padded.reshape(by, block, bx, block, 3).transpose(0, 2, 1, 3, 4)
-    return tiles.reshape(by * bx, RAY_TILE, 3), (H, W, Hp, Wp, block, by, bx)
+    return tiles.reshape(by * bx, TR, 3), (H, W, Hp, Wp, block, by, bx)
 
 
 def untile_indices(idx_tiles: jnp.ndarray, meta) -> jnp.ndarray:
@@ -83,11 +96,15 @@ def untile_indices(idx_tiles: jnp.ndarray, meta) -> jnp.ndarray:
 
 
 def _cull_kernel(rays_ref, f_ref, recs_ref, out_ref, best_scr, work_scr,
-                 tmp_scr, *, k: int, n_chunks: int):
+                 tmp_scr, *, k: int, n_chunks: int, chunk: int):
     """Per-tile exact top-k over the tile's candidate set.
 
     rays_ref (TR,3), f_ref (TR,1), recs_ref (8, M): rows 0..2 = v^T,
-    row 3 = |v|^2 (+inf for dead/invalid). Output (TR, KPAD) local indices.
+    row 3 = |v|^2 (+inf for dead/invalid), row 4 = GLOBAL point index as
+    f32. Output (TR, KPAD) global indices — packing the global index (fits
+    the 15 IDX_BITS, P <= 32768) instead of the candidate slot makes the
+    local->global remap free; the XLA scalar-gather it replaces cost 148 ms
+    per 800x800 frame on v5e (one-element rows hit the slow row-DMA path).
     """
     TR = rays_ref.shape[1]
     best_scr[:] = jnp.full((TR, KPAD), MAXI, jnp.int32)
@@ -96,18 +113,18 @@ def _cull_kernel(rays_ref, f_ref, recs_ref, out_ref, best_scr, work_scr,
     d2 = rays_ref[0, :, 2:3]
     f = f_ref[0]
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (TR, KPAD), 1)
-    col0 = jax.lax.broadcasted_iota(jnp.int32, (TR, CAND_CHUNK), 1)
 
     def chunk_body(c, _):
-        base = c * CAND_CHUNK
-        v0 = recs_ref[0, 0:1, pl.ds(base, CAND_CHUNK)]
-        v1 = recs_ref[0, 1:2, pl.ds(base, CAND_CHUNK)]
-        v2r = recs_ref[0, 2:3, pl.ds(base, CAND_CHUNK)]
-        vv = recs_ref[0, 3:4, pl.ds(base, CAND_CHUNK)]
+        base = c * chunk
+        v0 = recs_ref[0, 0:1, pl.ds(base, chunk)]
+        v1 = recs_ref[0, 1:2, pl.ds(base, chunk)]
+        v2r = recs_ref[0, 2:3, pl.ds(base, chunk)]
+        vv = recs_ref[0, 3:4, pl.ds(base, chunk)]
+        gidx = recs_ref[0, 4:5, pl.ds(base, chunk)].astype(jnp.int32)
         t = d0 * v0 + d1 * v1 + d2 * v2r
         dist = jnp.maximum(vv - t * t * f, 0.0)
         work_scr[:] = (pltpu.bitcast(dist, jnp.int32) &
-                       jnp.int32(VAL_MASK)) | (col0 + base)
+                       jnp.int32(VAL_MASK)) | gidx
         tmp_scr[:] = jnp.full((TR, KPAD), MAXI, jnp.int32)
 
         def round_body(j, _):
@@ -147,8 +164,8 @@ def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
                        recall_target: float = 0.99) -> jnp.ndarray:
     """points (P,3), alive (P,), rays_o (3,), rays_d_hw (H,W,3) ->
     (H*W, k) int32 global indices (row-major ray order)."""
-    assert M % CAND_CHUNK == 0 or M < CAND_CHUNK
-    Mp = max(-(-M // CAND_CHUNK) * CAND_CHUNK, CAND_CHUNK)
+    chunk = _chunk_for(block * block)
+    Mp = max(-(-M // chunk) * chunk, chunk)
     points = jax.lax.stop_gradient(points).astype(jnp.float32)
     rays_o = jax.lax.stop_gradient(rays_o).astype(jnp.float32)
     rays_d_hw = jax.lax.stop_gradient(rays_d_hw).astype(jnp.float32)
@@ -206,6 +223,10 @@ def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
                            jnp.where(alive, 0.0, jnp.inf)[None, :],
                            jnp.zeros((4, points.shape[0]))], axis=0)  # (8, P)
     recs = rec[:, cand_idx.reshape(-1)].reshape(8, T, Mp).transpose(1, 0, 2)
+    # Row 4 carries each candidate's GLOBAL index (exact as f32: P <= 2^15);
+    # the kernel packs it into the min-extract payload so its output needs
+    # no local->global remap.
+    recs = recs.at[:, 4, :].set(cand_idx.astype(jnp.float32))
     if take < Mp:
         # pad slots alias index 0: kill their distance so the exact top-k
         # in stage 3 can never select a duplicate
@@ -214,32 +235,32 @@ def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
             jnp.where(lane >= take, jnp.inf, recs[:, 3, :]))
 
     # per-ray scale factor f
-    flat = tiles.reshape(T * RAY_TILE, 3)
+    TR = block * block
+    flat = tiles.reshape(T * TR, 3)
     dd = jnp.sum(flat * flat, axis=-1, keepdims=True)
-    f = ((dd + 2 * eps) / (dd + eps) ** 2).reshape(T, RAY_TILE, 1)
+    f = ((dd + 2 * eps) / (dd + eps) ** 2).reshape(T, TR, 1)
 
-    kernel = functools.partial(_cull_kernel, k=k, n_chunks=Mp // CAND_CHUNK)
-    local = pl.pallas_call(
+    kernel = functools.partial(_cull_kernel, k=k, n_chunks=Mp // chunk,
+                               chunk=chunk)
+    winners = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, RAY_TILE, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, TR, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_TILE, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, TR, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, Mp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, RAY_TILE, KPAD), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, TR, KPAD), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, RAY_TILE, KPAD), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((RAY_TILE, KPAD), jnp.int32),
-                        pltpu.VMEM((RAY_TILE, CAND_CHUNK), jnp.int32),
-                        pltpu.VMEM((RAY_TILE, KPAD), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((T, TR, KPAD), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((TR, KPAD), jnp.int32),
+                        pltpu.VMEM((TR, chunk), jnp.int32),
+                        pltpu.VMEM((TR, KPAD), jnp.int32)],
         interpret=interpret,
-    )(tiles.reshape(T, RAY_TILE, 3), f, recs)
+    )(tiles.reshape(T, TR, 3), f, recs)
 
-    local = jnp.minimum(local[..., :k], Mp - 1)          # (T, TR, k) local
-    global_idx = jax.vmap(lambda ci, lo: ci[lo])(cand_idx, local).astype(jnp.int32)
-    flat_idx = untile_indices(global_idx, meta)
+    flat_idx = untile_indices(winners[..., :k], meta)    # already global
     return jnp.minimum(flat_idx, points.shape[0] - 1)

@@ -54,6 +54,9 @@ def test_eval_selection_is_exact_under_approx_prefilter():
     _, _, _, idx_eval = _attend(params, state, cfg, rayo[None], rayd[None],
                                 policy, remat=False, exact_select=True,
                                 local=True)
+    # eval keeps the training block (cull_block_eval defaults to 0 = same);
+    # the pinned property is that the prefilter is the exact sort even
+    # though the train config says approx.
     want = np.asarray(select_topk_culled(
         jnp.asarray(pts), state["alive"], jnp.asarray(rayo),
         jnp.asarray(rayd), 8, M=256, block=16, eps=float(cfg.eps),

@@ -288,16 +288,21 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
             pf = str(cfg.get_path("tpu.cull_prefilter", "approx"))
             rc = float(cfg.get_path("tpu.cull_recall", 0.99))
             if exact_select:
-                # Eval/test renders use the exact sort prefilter so reported
-                # metrics never ride the approx_min_k recall stack (VERDICT
-                # r2 weak #6); tpu.cull_prefilter_eval overrides. The sort
-                # prefilter is also FASTER at render tile counts (800x800:
-                # 34 ms vs 122 ms approx on v5e — approx_min_k's aggregate
-                # reduction loses to one big sort at T=2500 tiles). Blocks
-                # stay at the training edge: 32-pixel blocks were measured
-                # 13x slower per element in the cull kernel (TR=1024 tiles
-                # starve the min-extract loop), sinking any prefilter win.
-                pf = str(cfg.get_path("tpu.cull_prefilter_eval", "sort"))
+                # Eval/test renders never ride the approx_min_k recall stack
+                # (VERDICT r2 weak #6): the default 'packsort' prefilter is a
+                # full sort of the lower bounds packed into the SAME 17-bit
+                # value / 15-bit index layout the stage-3 kernel uses, so its
+                # only ranking difference vs 'sort' is on ties the kernel
+                # itself cannot distinguish. One int32 sort beats lax.top_k's
+                # (f32,s32) pair sort (30.7 vs 39.6 ms at 800x800 on v5e),
+                # and both beat approx at render tile counts (~122 ms —
+                # approx_min_k's aggregate reduction loses to one big sort at
+                # T=2500 tiles). tpu.cull_prefilter_eval overrides ('sort'
+                # restores the bit-exact prefilter). Blocks stay at the
+                # training edge: 32-pixel blocks measured 13x slower per
+                # element in the cull kernel (TR=1024 tiles starve the
+                # min-extract loop), sinking any prefilter win.
+                pf = str(cfg.get_path("tpu.cull_prefilter_eval", "packsort"))
                 eblk = int(cfg.get_path("tpu.cull_block_eval", 0)) or blk
                 me = cfg.get_path("tpu.cull_candidates_eval", "auto")
                 M = int(me) if me != "auto" else \
@@ -450,7 +455,11 @@ def _point_record(params, alive, meta, pcf):
     record = jnp.concatenate(rec_parts, axis=1)
     if rec_pad:
         record = jnp.pad(record, ((0, 0), (0, rec_pad)))
-    return record
+    # Barrier keeps the row gather full-width: without it XLA rewrites
+    # gather(pad(concat)) as pad(gather(concat)), and the rematerializing
+    # pad costs ~20 ms per 800x800 frame (it writes the whole (K, R, 128)
+    # record tensor a second time). The barrier is AD-transparent.
+    return jax.lax.optimization_barrier(record)
 
 
 def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,

@@ -102,6 +102,24 @@ def test_model_forward_consistent_across_impls():
     assert close.mean() > 0.995, close.mean()
 
 
+def test_culled_packsort_prefilter_matches_sort_selection():
+    """tpu.cull_prefilter_eval=packsort (the eval default): the packed
+    single-array sort selects the same winners as the exact pair sort —
+    differences are confined to pack-quantization ties the stage-3 kernel
+    cannot distinguish either way."""
+    pts, alive, rayo, rayd = _camera_scene(dead=(100, 200))
+    k = 8
+    args = (jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
+            jnp.asarray(rayd), k)
+    kw = dict(M=1024, block=16, interpret=True)
+    got = np.asarray(select_topk_culled(*args, prefilter="packsort", **kw))
+    want = np.asarray(select_topk_culled(*args, prefilter="sort", **kw))
+    assert not np.isin(got, np.arange(100, 200)).any()
+    overlap = np.mean([len(set(got[i]) & set(want[i])) / k
+                       for i in range(got.shape[0])])
+    assert overlap > 0.999, overlap
+
+
 def test_culled_approx_prefilter_matches_exact_selection():
     """tpu.cull_prefilter=approx: aggregate-reduction candidate prefilter
     keeps selection identity (winners have the smallest lower bounds)."""

@@ -64,8 +64,10 @@ def _bench_loss_fn(cfg, with_lpips: bool):
     return get_loss(losses, lpips_params=lp, policy=policy_from_config(cfg))
 
 
-def bench_render():
-    """800x800 render FPS (NeRF-Synthetic eval resolution)."""
+def bench_render(hw=None):
+    """800x800 render FPS (NeRF-Synthetic eval resolution); ``hw`` overrides
+    the frame shape (render_t2 mode: 640x1088, the factor-2 T&T eval shape
+    of reference dataset/load_t2.py:29 + configs/t2)."""
     import jax
 
     from __graft_entry__ import _flagship_cfg
@@ -75,33 +77,35 @@ def bench_render():
 
     small = bool(_os.environ.get("PAPR_BENCH_SMALL"))
     side = 160 if small else 800
+    H, W = hw if hw else (side, side)
     cfg = _flagship_cfg(patch=160, points=2048 if small else 30000,
                         k=8 if small else 20)
     params, state = create_model(cfg, jax.random.PRNGKey(0))
     c2w = np.eye(4, dtype=np.float32)
     c2w[:3, 3] = [0, 0, 35.0]
-    rayo, rayd = get_rays_np(side, side, 700.0 * side / 800, 700.0 * side / 800,
-                             c2w[None])
+    rayo, rayd = get_rays_np(H, W, 700.0 * max(H, W) / 800,
+                             700.0 * max(H, W) / 800, c2w[None])
 
     # Frame delivery = c2w in, uint8 RGB out (render_frame: on-device ray
     # generation, one dispatch, quantized payload — the serving path). The
     # fp32-fetch render_full_image variant is reported alongside (host rays
     # uploaded + fp32 frame fetched) so older methodologies stay comparable.
     from papr_tpu.train.step import render_frame
-    tile = 160 if small else 800
-    focal = 700.0 * side / 800
+    th = 160 if small else H
+    tw = 160 if small else W
+    focal = 700.0 * max(H, W) / 800
 
     def frame8(n):
         t0 = time.perf_counter()
         for _ in range(n):
-            render_frame(params, state, cfg, c2w, focal, focal, side, side,
-                         tile, tile)
+            render_frame(params, state, cfg, c2w, focal, focal, H, W,
+                         th, tw)
         return (time.perf_counter() - t0) / n
 
     def frame32(n):
         t0 = time.perf_counter()
         for _ in range(n):
-            render_full_image(params, state, cfg, rayo, rayd, tile, tile,
+            render_full_image(params, state, cfg, rayo, rayd, th, tw,
                               rgb_only=True)
         return (time.perf_counter() - t0) / n
 
@@ -109,7 +113,7 @@ def bench_render():
     fps8 = 1.0 / frame8(3)
     frame32(1)                          # compile fp32 variant
     fps32 = 1.0 / frame32(3)
-    print(json.dumps({"metric": f"render_{side}x{side}_fps",
+    print(json.dumps({"metric": f"render_{H}x{W}_fps",
                       "value": round(fps8, 3), "unit": "frames/s",
                       "fp32_fetch_fps": round(fps32, 3)}))
 
@@ -197,6 +201,10 @@ def main():
         raise SystemExit("bench: child process without PAPR_BENCH")
     if mode == "render":
         return bench_render()
+    if mode == "render_t2":
+        # T&T eval shape (1280x2176 native at factor 2). Not part of the
+        # orchestrated line — run explicitly: PAPR_BENCH=render_t2.
+        return bench_render(hw=(640, 1088))
     if mode == "train":
         return bench_train(with_lpips=False)
     if mode == "train_lpips":

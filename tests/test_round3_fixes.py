@@ -116,6 +116,17 @@ def test_render_frame_matches_host_ray_render():
     # identical tiling/convention: allow 1-count quantization wobble
     assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 1
 
+    # Non-square frame with different fx/fy and edge padding on both axes —
+    # the T&T aspect regime (640x1088 at factor 2) in miniature.
+    H2, W2 = 20, 36
+    fx2, fy2 = 28.0, 41.0
+    rayo2, rayd2 = get_rays_np(H2, W2, fx2, fy2, c2w[None])
+    want2 = render_full_image(params, state, cfg, rayo2, rayd2, 16, 16,
+                              rgb_only=True, rgb_uint8=True)["rgb"][0]
+    got2 = render_frame(params, state, cfg, c2w, fx2, fy2, H2, W2, 16, 16)
+    assert got2.shape == (H2, W2, 3)
+    assert np.max(np.abs(got2.astype(int) - want2.astype(int))) <= 1
+
 
 def test_build_loss_lpips_random_fallback():
     """With lpips weight > 0 and no converted VGG asset, build_loss keeps the

@@ -188,6 +188,22 @@ def _frame_fn(cfg, policy, H: int, W: int, tile_h: int, tile_w: int,
     return _cache[key][1]
 
 
+def render_frame_async(params, state, cfg, c2w, focal_x: float,
+                       focal_y: float, H: int, W: int, tile_h: int = 0,
+                       tile_w: int = 0, policy=None):
+    """Dispatch one frame and return the ON-DEVICE uint8 array without
+    fetching it. jax's async dispatch returns immediately; a serving loop
+    can therefore overlap the host fetch of frame i with the device compute
+    of frame i+1 (double buffering) — on networked TPU setups the frame
+    transfer is a visible slice of the serial per-frame latency, and this
+    hides it entirely at steady state."""
+    policy = policy or policy_from_config(cfg)
+    fn = _frame_fn(cfg, policy, H, W, tile_h or H, tile_w or W)
+    focal = np.asarray([focal_x, focal_y], np.float32)
+    return fn(params, state, jnp.asarray(np.asarray(c2w).astype(np.float32)),
+              jnp.asarray(focal))
+
+
 def render_frame(params, state, cfg, c2w, focal_x: float, focal_y: float,
                  H: int, W: int, tile_h: int = 0, tile_w: int = 0,
                  policy=None) -> np.ndarray:
@@ -197,11 +213,29 @@ def render_frame(params, state, cfg, c2w, focal_x: float, focal_y: float,
     host-ray interface for dataset-driven eval): rays are generated on
     device from the camera matrix, so the only per-frame upload is the
     camera pose."""
-    policy = policy or policy_from_config(cfg)
-    fn = _frame_fn(cfg, policy, H, W, tile_h or H, tile_w or W)
-    focal = np.asarray([focal_x, focal_y], np.float32)
-    return np.asarray(fn(params, state, jnp.asarray(np.asarray(c2w).astype(
-        np.float32)), jnp.asarray(focal)))
+    return np.asarray(render_frame_async(params, state, cfg, c2w, focal_x,
+                                         focal_y, H, W, tile_h, tile_w,
+                                         policy))
+
+
+def render_frames(params, state, cfg, c2ws, focal_x: float, focal_y: float,
+                  H: int, W: int, tile_h: int = 0, tile_w: int = 0,
+                  policy=None):
+    """Pipelined multi-frame delivery: yields uint8 (H, W, 3) frames for a
+    sequence of camera poses, overlapping each frame's host fetch with the
+    next frame's device compute (queue depth 1). Steady-state throughput is
+    max(device_time, fetch_time) per frame instead of their sum — the
+    camera-path / video serving loop (reference test.py renders pose
+    sequences the same way, frame by frame)."""
+    pending = None
+    for c2w in c2ws:
+        fut = render_frame_async(params, state, cfg, c2w, focal_x, focal_y,
+                                 H, W, tile_h, tile_w, policy)
+        if pending is not None:
+            yield np.asarray(pending)
+        pending = fut
+    if pending is not None:
+        yield np.asarray(pending)
 
 
 def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,

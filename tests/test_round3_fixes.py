@@ -127,6 +127,19 @@ def test_render_frame_matches_host_ray_render():
     assert got2.shape == (H2, W2, 3)
     assert np.max(np.abs(got2.astype(int) - want2.astype(int))) <= 1
 
+    # Pipelined multi-frame delivery (render_frames, fetch/compute overlap)
+    # is the SAME compiled frame function — bit-identical frames, in order.
+    from papr_tpu.train.step import render_frames
+    c2w_b = c2w.copy()
+    c2w_b[:3, 3] = [-0.1, 0.4, 2.8]
+    frames = list(render_frames(params, state, cfg, [c2w, c2w_b, c2w],
+                                fx, fy, H, W, 16, 16))
+    assert len(frames) == 3
+    np.testing.assert_array_equal(frames[0], got)
+    np.testing.assert_array_equal(frames[2], got)
+    want_b = render_frame(params, state, cfg, c2w_b, fx, fy, H, W, 16, 16)
+    np.testing.assert_array_equal(frames[1], want_b)
+
 
 def test_build_loss_lpips_random_fallback():
     """With lpips weight > 0 and no converted VGG asset, build_loss keeps the

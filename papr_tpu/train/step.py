@@ -35,6 +35,13 @@ def make_train_step(cfg, loss_fn=None, sharding=None, donate: bool = True):
     last_act = build_activation(cfg.models.last_act)
     if loss_fn is None:
         loss_fn = get_loss(cfg.training.losses, policy=policy)
+    # Loss weights (e.g. the 59 MB LPIPS VGG backbone) ride into the jit as a
+    # RUNTIME pytree argument, not closure constants: XLA constant-folds
+    # inlined weights through the conv tower, which pushed the remote TPU
+    # compile of the LPIPS step to ~28 min (vs minutes as parameters).
+    loss_rt = getattr(loss_fn, "params", None) or None
+    if loss_rt is not None:
+        loss_rt = jax.tree.map(jnp.asarray, loss_rt)
     # Embedder dropout (reference models/attn.py:108-117): active only when a
     # config asks for it; the per-step rng folds the global step into a
     # seed-derived key so resumed runs replay the same masks.
@@ -43,7 +50,7 @@ def make_train_step(cfg, loss_fn=None, sharding=None, donate: bool = True):
     base_key = jax.random.PRNGKey(int(cfg.seed)) if use_dropout else None
 
     def step_fn(params, opt_state, state, rayo, rayd, target, c2w, step,
-                shading_code=None):
+                shading_code=None, loss_params=None):
         if sharding is not None:
             rayd = jax.lax.with_sharding_constraint(rayd, sharding.rays)
             target = jax.lax.with_sharding_constraint(target, sharding.rays)
@@ -58,7 +65,7 @@ def make_train_step(cfg, loss_fn=None, sharding=None, donate: bool = True):
             out = last_act(out)
             if sharding is not None:
                 out = jax.lax.with_sharding_constraint(out, sharding.replicated)
-            loss = loss_fn(out, target)
+            loss = loss_fn(out, target, loss_params)
             return loss, out
 
         (loss, pred), grads = jax.value_and_grad(compute_loss, has_aux=True)(params)
@@ -67,7 +74,16 @@ def make_train_step(cfg, loss_fn=None, sharding=None, donate: bool = True):
         return params_new, opt_state_new, loss, pred
 
     donate_args = (0, 1) if donate else ()
-    return jax.jit(step_fn, donate_argnums=donate_args), specs
+    jitted = jax.jit(step_fn, donate_argnums=donate_args)
+    if loss_rt is None:
+        return jitted, specs
+
+    def with_loss_params(params, opt_state, state, rayo, rayd, target, c2w,
+                         step, shading_code=None):
+        return jitted(params, opt_state, state, rayo, rayd, target, c2w,
+                      step, shading_code, loss_rt)
+
+    return with_loss_params, specs
 
 
 def make_opt_state(cfg, params):

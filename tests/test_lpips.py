@@ -212,3 +212,32 @@ def test_lpips_alex_matches_torch_formula():
     got = float(lpips_alex_apply(
         jax.tree.map(lambda x: x, params), a, b))
     np.testing.assert_allclose(got, want, rtol=2e-3)
+
+
+def test_loss_params_ride_as_runtime_args():
+    """get_loss exposes the LPIPS backbone on loss_fn.params and routes a
+    per-call loss_params pytree to the backbone — so jitted train steps can
+    pass the 59 MB of VGG weights as runtime arguments instead of closure
+    constants (inlined constants pushed the remote TPU compile to ~28 min)."""
+    from papr_tpu.config import Config
+    from papr_tpu.train.losses import get_loss
+
+    losses = Config({"mse": 1.0, "lpips": 0.01})
+    lp_a = random_lpips_params(jax.random.PRNGKey(3))
+    lp_b = random_lpips_params(jax.random.PRNGKey(4))
+    fn_a = get_loss(losses, lpips_params=lp_a)
+    fn_b = get_loss(losses, lpips_params=lp_b)
+    assert set(fn_a.params) == {"lpips"}
+
+    rng = np.random.default_rng(0)
+    p = rng.random((1, 16, 16, 3), np.float32)
+    t = rng.random((1, 16, 16, 3), np.float32)
+
+    closure_a = float(fn_a(p, t))
+    # 3-arg call with B's weights through A's function == B's closure value
+    np.testing.assert_allclose(float(fn_a(p, t, {"lpips": lp_b})),
+                               float(fn_b(p, t)), rtol=1e-6)
+    # and the 2-arg fallback still uses the build-time weights
+    np.testing.assert_allclose(float(fn_a(p, t, fn_a.params)), closure_a,
+                               rtol=1e-6)
+    assert abs(closure_a - float(fn_b(p, t))) > 1e-9

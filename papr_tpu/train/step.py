@@ -41,7 +41,10 @@ def make_train_step(cfg, loss_fn=None, sharding=None, donate: bool = True):
     # compile of the LPIPS step to ~28 min (vs minutes as parameters).
     loss_rt = getattr(loss_fn, "params", None) or None
     if loss_rt is not None:
-        loss_rt = jax.tree.map(jnp.asarray, loss_rt)
+        if sharding is not None:       # replicate once over the mesh
+            loss_rt = jax.device_put(loss_rt, sharding.replicated)
+        else:
+            loss_rt = jax.tree.map(jnp.asarray, loss_rt)
     # Embedder dropout (reference models/attn.py:108-117): active only when a
     # config asks for it; the per-step rng folds the global step into a
     # seed-derived key so resumed runs replay the same masks.

@@ -186,3 +186,52 @@ def test_mesh_divisibility_errors(scene, tmp_path):
                        timeout=300)
     assert r.returncode != 0
     assert "must be divisible by" in r.stderr
+
+
+def test_mesh_train_step_with_lpips_runtime_params():
+    """LPIPS train step on a (2, 4) mesh: the VGG backbone rides in as a
+    runtime pytree replicated over the mesh (make_train_step's loss_rt
+    device_put) — must produce a finite loss that matches the single-device
+    step on identical inputs."""
+    import jax
+    import numpy as np
+
+    from papr_tpu.config import load_config
+    from papr_tpu.model.lpips_jax import random_lpips_params
+    from papr_tpu.model.papr import create_model
+    from papr_tpu.nn.mlp import policy_from_config
+    from papr_tpu.parallel.mesh import make_mesh, make_plan
+    from papr_tpu.train.losses import get_loss
+    from papr_tpu.train.step import make_opt_state, make_train_step
+
+    overrides = {
+        "use_amp": False, "max_num_pts": 128, "seed": 0,
+        "geoms": {"points": {"init_num": 100, "select_k": 4}},
+        "dataset": {"batch_size": 2, "patches": {"height": 16, "width": 16}},
+        "training": {"losses": {"mse": 1.0, "lpips": 0.01,
+                                "lpips_alex": 0.0}},
+    }
+    cfg = load_config(overrides=overrides)
+    lp = random_lpips_params(jax.random.PRNGKey(1))
+    loss_fn = get_loss(cfg.training.losses, lpips_params=lp,
+                       policy=policy_from_config(cfg))
+    params, state = create_model(cfg, jax.random.PRNGKey(0))
+    opt = make_opt_state(cfg, params)
+
+    rng = np.random.default_rng(0)
+    rayo = rng.normal(size=(2, 3)).astype(np.float32) * 3.0
+    rayd = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    rayd /= np.linalg.norm(rayd, axis=-1, keepdims=True)
+    target = rng.random((2, 16, 16, 3), np.float32)
+    c2w = np.broadcast_to(np.eye(4, dtype=np.float32), (2, 4, 4)).copy()
+
+    plan = make_plan(make_mesh(2, 4))
+    step_m, _ = make_train_step(cfg, loss_fn=loss_fn, sharding=plan,
+                                donate=False)
+    _, _, loss_m, _ = step_m(params, opt, state, rayo, rayd, target, c2w, 0)
+
+    step_1, _ = make_train_step(cfg, loss_fn=loss_fn, donate=False)
+    _, _, loss_1, _ = step_1(params, opt, state, rayo, rayd, target, c2w, 0)
+
+    assert np.isfinite(float(loss_m))
+    np.testing.assert_allclose(float(loss_m), float(loss_1), rtol=1e-4)

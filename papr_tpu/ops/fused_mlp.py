@@ -41,12 +41,37 @@ padded in the wrapper.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 _LANE = 128
+
+# Lane reductions (sum over the minor dim) and their broadcasts are the VPU
+# floor of the stream kernels: each (tile, 256) reduce+broadcast pair costs
+# ~7 shuffle-add passes down plus ~7 back up, and the walk runs ~11 of them
+# per (tile, k) slice while the MXU sits ~80% idle. _bsum moves them onto
+# the MXU as a matmul against a masked-ones matrix, which also yields the
+# broadcast for free (every output lane holds the sum). Opt-in via
+# PAPR_MXU_REDUCE=1 until A/B-timed on hardware (the (w,w) masks live in
+# VMEM per reduction site and the value-backward kernel is within 88 KB of
+# the 16 MB scoped limit at ray tile 512).
+_MXU_REDUCE = os.environ.get("PAPR_MXU_REDUCE", "0") == "1"
+
+
+def _bsum(x, n_true, scale=1.0):
+    """Masked row-sum broadcast to full width: out[:, j] = scale *
+    sum(x[:, :n_true]) for every j. Rides the MXU (fp32, default
+    precision — see the _pe_stage precision note). The mask is always
+    0/1 so every call site with the same (w, n_true) shares one value
+    (CSE across the walk); the scale is a single post-multiply pass."""
+    w = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    m = jnp.where(lane < n_true, jnp.float32(1.0), jnp.float32(0.0))
+    out = jnp.dot(x, m, preferred_element_type=jnp.float32)
+    return out * scale if scale != 1.0 else out
 
 
 def _round_up(n, m):
@@ -101,15 +126,27 @@ def _row_mask_fix(x, tile, T):
 
 def _ln_fwd(x, a, b, n_true, eps):
     """nn/norm.py formula on a (tile, dpad) fp32 block; stats over the first
-    n_true lanes. Returns (y, d, r, h) for the backward."""
+    n_true lanes. Returns (y, d, r, h) for the backward.
+
+    With _MXU_REDUCE the mean/variance reductions (and their broadcasts
+    back to full width) ride the MXU via _bsum; ``r`` is then full-width
+    (every lane equal) instead of (tile, 1) — downstream math is
+    broadcast-compatible either way."""
     dpad = x.shape[1]
-    if n_true != dpad:
-        x = jnp.where(_lane_mask(x.shape, n_true), x, 0.0)
-    mu = jnp.sum(x, axis=1, keepdims=True) / n_true
-    d = x - mu
-    if n_true != dpad:
-        d = jnp.where(_lane_mask(x.shape, n_true), d, 0.0)
-    v = jnp.sum(d * d, axis=1, keepdims=True) / max(n_true - 1, 1)
+    if _MXU_REDUCE:
+        mu = _bsum(x, n_true, 1.0 / n_true)     # pad lanes excluded by mask
+        d = x - mu
+        if n_true != dpad:
+            d = jnp.where(_lane_mask(x.shape, n_true), d, 0.0)
+        v = _bsum(d * d, n_true, 1.0 / max(n_true - 1, 1))
+    else:
+        if n_true != dpad:
+            x = jnp.where(_lane_mask(x.shape, n_true), x, 0.0)
+        mu = jnp.sum(x, axis=1, keepdims=True) / n_true
+        d = x - mu
+        if n_true != dpad:
+            d = jnp.where(_lane_mask(x.shape, n_true), d, 0.0)
+        v = jnp.sum(d * d, axis=1, keepdims=True) / max(n_true - 1, 1)
     s = jnp.sqrt(v)
     r = 1.0 / (s + eps)
     h = d * r
@@ -122,12 +159,18 @@ def _ln_bwd(g, d, r, h, a, n_true, eps):
     da = jnp.sum(g * h, axis=0, keepdims=True)
     db = jnp.sum(g, axis=0, keepdims=True)
     gh = g * a
-    c = jnp.sum(gh * d, axis=1, keepdims=True)
+    if _MXU_REDUCE:
+        c = _bsum(gh * d, n_true)
+    else:
+        c = jnp.sum(gh * d, axis=1, keepdims=True)
     s = 1.0 / r - eps                       # recover s from r
     denom = max(n_true - 1, 1) * jnp.maximum(s, 1e-30)
     w = jnp.where(s > 0, -c * r * r / denom, 0.0)
     dd = gh * r + w * d
-    dx = dd - jnp.sum(dd, axis=1, keepdims=True) / n_true
+    if _MXU_REDUCE:
+        dx = dd - _bsum(dd, n_true, 1.0 / n_true)
+    else:
+        dx = dd - jnp.sum(dd, axis=1, keepdims=True) / n_true
     return dx, da, db
 
 

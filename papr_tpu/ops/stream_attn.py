@@ -40,13 +40,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from .fused_attn import NEG_BIG, _linear, _score_act_fwd, _score_act_mask
-from .fused_mlp import (_cfg_tuple, _layout, _pad2, _pe_freq, _pe_freq_bwd,
-                        _posenc_plan, _round_up,
+from .fused_mlp import (_MXU_REDUCE, _bsum, _cfg_tuple, _layout, _pad2,
+                        _pe_freq, _pe_freq_bwd, _posenc_plan, _round_up,
                         _row_mask_fix as _zero_rows, _split_refs,
                         _zero_lanes, walk_body_bwd, walk_body_fwd, walk_bwd,
                         walk_fwd)
 
 _LANE = 128
+
+
+def _dot_col(x, y, n_true, scale=1.0):
+    """scale * sum(x*y) as a (rows, 1) column, where the product is already
+    zero past lane n_true. MXU-reduced when enabled (fused_mlp._bsum), the
+    original VPU shuffle-reduce otherwise."""
+    if _MXU_REDUCE:
+        return _bsum(x * y, n_true, scale)[:, :1]
+    s = jnp.sum(x * y, axis=1, keepdims=True)
+    return s * scale if scale != 1.0 else s
 
 
 def _col_select(block, k):
@@ -90,7 +100,7 @@ def _ks_fwd_kernel(meta, xk_ref, qq_ref, influ_ref, alive_ref, *refs):
                                 ln_refs, masked=False)
     kk = _linear(y.astype(cdt), wk_ref, bk_ref, cdt)        # (tile, dm_pad)
     qq = _zero_lanes(qq_ref[:], dm).astype(jnp.float32)
-    col = jnp.sum(qq * kk, axis=1, keepdims=True) / math.sqrt(dm)
+    col = _dot_col(qq, kk, dm) / math.sqrt(dm)
 
     base = jnp.where(k == 0, 0.0, raw_ref[:])
     raw = _col_update(base, col, k)
@@ -405,7 +415,7 @@ def _vs_bwd_kernel(meta, xv_ref, attn_ref, dfused_ref, *refs):
 
     # d wrt this slice's fuse weight, stashed raw into column k; the final
     # k step applies the renormalization jacobian across the full row.
-    dw_col = jnp.sum(yc * dfused, axis=1, keepdims=True)
+    dw_col = _dot_col(yc, dfused, vcfg[6])
     base = jnp.where(k == 0, 0.0, dattn_ref[:])
     datt = _col_update(base, dw_col, k)
     dattn_ref[:] = datt
@@ -623,6 +633,11 @@ def _mask3(x):
 
 def _rec_lane(recb, lane_idx):
     """One record lane as a (rows, 1) column."""
+    if _MXU_REDUCE:
+        w = recb.shape[1]
+        li = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+        e = (li == lane_idx).astype(jnp.float32)
+        return jnp.dot(recb, e, preferred_element_type=jnp.float32)[:, :1]
     lane = jax.lax.broadcasted_iota(jnp.int32, recb.shape, 1)
     return jnp.sum(jnp.where(lane == lane_idx, recb, 0.0), axis=1,
                    keepdims=True)
@@ -632,8 +647,12 @@ def _geom_fwd(sel, rayo, rays, eps):
     """point_ray_geometry on (tile, rec_pad) fp32 arrays masked to lanes
     0:3 (papr.py _attend_kmaj / ops/geometry.py formulas)."""
     v = sel - rayo
-    t_al = jnp.sum(v * rays, axis=1, keepdims=True)
-    dd = jnp.sum(rays * rays, axis=1, keepdims=True)
+    if _MXU_REDUCE:
+        t_al = _bsum(v * rays, 3)
+        dd = _bsum(rays * rays, 3)
+    else:
+        t_al = jnp.sum(v * rays, axis=1, keepdims=True)
+        dd = jnp.sum(rays * rays, axis=1, keepdims=True)
     c = t_al / (dd + eps)
     proj = rays * c
     perp = v - proj
@@ -643,7 +662,10 @@ def _geom_bwd(dproj, dperp, rays, saved, eps):
     v, t_al, dd, c = saved
     dv = dperp
     dpe = dproj - dperp                      # proj's total cotangent
-    dc = jnp.sum(dpe * rays, axis=1, keepdims=True)
+    if _MXU_REDUCE:
+        dc = _bsum(dpe * rays, 3)
+    else:
+        dc = jnp.sum(dpe * rays, axis=1, keepdims=True)
     drays = dpe * c
     dt = dc / (dd + eps)
     ddd = -dc * t_al / ((dd + eps) * (dd + eps))
@@ -721,7 +743,7 @@ def _ksr_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, *refs):
     y, _, _, _ = walk_body_fwd(kcfg, enc, w_refs, b_refs, ln_refs)
     kk = _linear(y.astype(cdt), wk_ref, bk_ref, cdt)
     qq = _zero_lanes(qq_ref[:], dm).astype(jnp.float32)
-    col = jnp.sum(qq * kk, axis=1, keepdims=True) / math.sqrt(dm)
+    col = _dot_col(qq, kk, dm) / math.sqrt(dm)
 
     influ = _rec_lane(recb, _REC_INFLU)
     alive = _rec_lane(recb, _REC_ALIVE) > 0.5
@@ -1097,7 +1119,7 @@ def _ksrq_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, rayd_ref, *refs):
     y, _, _, _ = walk_body_fwd(kcfg, enc, kw, kb, kln)
     kk = _linear(y.astype(cdt), wk_ref, bk_ref, cdt)
     qq = _zero_lanes(qq_ref[:].astype(jnp.float32), dm)
-    col = jnp.sum(qq * kk, axis=1, keepdims=True) / math.sqrt(dm)
+    col = _dot_col(qq, kk, dm) / math.sqrt(dm)
 
     influ = _rec_lane(recb, _REC_INFLU)
     alive = _rec_lane(recb, _REC_ALIVE) > 0.5
@@ -1515,7 +1537,7 @@ def _vsr_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, dfused_ref,
     y, hs, li, lo = walk_body_fwd(vcfg, enc, w_refs, b_refs, ln_refs)
     yc = y.astype(cdt).astype(jnp.float32)
 
-    dw_col = jnp.sum(yc * dfused, axis=1, keepdims=True)
+    dw_col = _dot_col(yc, dfused, vcfg[6])
     base = jnp.where(k == 0, 0.0, dattn_ref[:])
     datt = _col_update(base, dw_col, k)
     dattn_ref[:] = datt

@@ -196,3 +196,36 @@ def test_explicit_kernels_demoted_outside_shard_map():
     msgs = [str(w.message) for w in rec]
     assert any("tpu.topk_impl=cull" in m for m in msgs), msgs
     assert any("tpu.fused_attn=streamrec" in m for m in msgs), msgs
+
+
+def test_mxu_reduce_matches_vpu_reduce(monkeypatch):
+    """fused_mlp._bsum (MXU lane-reduce) must equal the masked VPU sum, and
+    _ln_fwd/_ln_bwd must be numerically identical under either reduction
+    path (PAPR_MXU_REDUCE toggles a module global read at trace time)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import papr_tpu.ops.fused_mlp as fm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((64, 256)).astype(np.float32))
+    for n_true in (3, 117, 256):
+        ref = np.sum(np.asarray(x)[:, :n_true], axis=1, keepdims=True)
+        got = np.asarray(fm._bsum(x, n_true, 0.5))
+        assert got.shape == (64, 256)
+        np.testing.assert_allclose(got[:, :1], 0.5 * ref, rtol=5e-5,
+                                   atol=5e-5)
+        # every lane equal (broadcast for free)
+        assert np.allclose(got, got[:, :1])
+
+    a = jnp.asarray(rng.standard_normal((1, 256)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((1, 256)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((64, 256)).astype(np.float32))
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(fm, "_MXU_REDUCE", flag)
+        y, d, r, h = fm._ln_fwd(x, a, b, 117, 1e-5)
+        g_m = jnp.where(fm._lane_mask(g.shape, 117), g, 0.0)
+        dx, da, db = fm._ln_bwd(g_m, d, r, h, a, 117, 1e-5)
+        outs[flag] = [np.asarray(t) for t in (y, dx, da, db)]
+    for u, v in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(u, v, rtol=5e-5, atol=5e-5)

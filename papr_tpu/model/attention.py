@@ -111,6 +111,42 @@ def embed_kqv(params: dict, attn_cfg, k_features, q_features, v_features,
     return k, q, v
 
 
+def attention_scores(qq: jnp.ndarray, kk: jnp.ndarray,
+                     kernel_type: str = "scaled-dot") -> jnp.ndarray:
+    """Score kernel menu (reference ``attention``, models/attn.py:45-88).
+
+    ``qq``: query projection, (..., 1, d) (broadcastable against ``kk``);
+    ``kk``: key projection, (..., K, d). Returns (..., K) fp32 scores.
+    ``d_kq`` for the scaled variants is the projection width (the reference
+    uses ``query.size(-1)``).
+
+    The reference's ``AttentionLayer.forward`` hardcodes "scaled-dot"
+    (models/attn.py:224) so the other ten kernels are unreachable from its
+    configs; here the full menu is reachable via the (superset) config key
+    ``models.attn.kernel_type``. Non-default kernels run the unfused XLA
+    path (ops/fused_attn.py ``score_fusible``).
+    """
+    d = qq.shape[-1]
+    neg = kernel_type.startswith("-")
+    base = kernel_type[1:] if neg else kernel_type
+    if base in ("scaled-dot", "dot"):
+        s = jnp.sum(qq * kk, axis=-1)
+        if base == "scaled-dot":
+            s = s / math.sqrt(d)
+    elif base == "l1-dist":
+        s = jnp.sum(jnp.abs(qq - kk), axis=-1)
+    elif base in ("l2-dist", "scaled-l2-dist"):
+        s = jnp.sqrt(jnp.sum(jnp.square(qq - kk), axis=-1))
+        if base == "scaled-l2-dist":
+            s = s / math.sqrt(d)
+    elif base == "cosine" and not neg:
+        s = jnp.sum(qq * kk, axis=-1) / (
+            jnp.linalg.norm(qq, axis=-1) * jnp.linalg.norm(kk, axis=-1))
+    else:
+        raise ValueError(f"Unknown kernel type: {kernel_type}")
+    return -s if neg else s
+
+
 def attention_apply(params: dict, attn_cfg, k_features, q_features,
                     v_features, k_extra=None, q_extra=None, v_extra=None,
                     eps: float = 1e-6, policy: Policy = F32,
@@ -125,12 +161,13 @@ def attention_apply(params: dict, attn_cfg, k_features, q_features,
                         k_extra, q_extra, v_extra, eps, policy, remat,
                         dropout_rng, fused, fused_interpret)
 
-    # Scaled-dot scores (reference: models/attn.py:212-226), single head,
-    # promoted to fp32 for the softmax that follows. Written as an
-    # elementwise mul + reduce (not a batched matmul): the query has one
+    # Scores (reference: models/attn.py:212-226; scaled-dot by default),
+    # single head, promoted to fp32 for the softmax that follows. Written as
+    # an elementwise mul + reduce (not a batched matmul): the query has one
     # token, and M=1 batched matmuls waste 127/128 of the MXU.
     kk = linear_apply(params["w_k"], k, policy).astype(jnp.float32)
     qq = linear_apply(params["w_q"], q, policy).astype(jnp.float32)
-    scores = jnp.sum(qq * kk, axis=-1) / math.sqrt(attn_cfg.d_model)
+    scores = attention_scores(qq, kk,
+                              attn_cfg.get("kernel_type", "scaled-dot"))
     scores = build_activation(attn_cfg.score_act)(scores)
     return k, q, v, scores

@@ -405,9 +405,11 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
     # XLA score tail (reference models/attn.py:212-226 + model.py:524-534).
     from ..nn.activations import build_activation
     from ..nn.mlp import linear_apply
+    from .attention import attention_scores
     kk = linear_apply(params["attn"]["w_k"], ek, policy).astype(jnp.float32)
     qq = linear_apply(params["attn"]["w_q"], eq, policy).astype(jnp.float32)
-    scores = jnp.sum(qq * kk, axis=-1) / math.sqrt(attn_cfg.d_model)
+    scores = attention_scores(qq, kk,
+                              attn_cfg.get("kernel_type", "scaled-dot"))
     scores = build_activation(attn_cfg.score_act)(scores)
     scores = scores * influ.astype(jnp.float32)
     scores = jnp.where(sel_alive, scores, NEG_BIG)

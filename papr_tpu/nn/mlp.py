@@ -23,7 +23,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from .activations import build_activation
+from .activations import activation_param_init, apply_activation
 from .init import linear_bias, xavier_uniform
 from .norm import layernorm_apply, layernorm_init
 
@@ -97,8 +97,19 @@ def linear_apply(params: dict, x: jnp.ndarray, policy: Policy = F32) -> jnp.ndar
 
 def mlp_init(key: jax.Array, inp_dim: int, num_layers: int, num_channels: int,
              out_dim: int, use_wn: bool = False, skip_layers=(), bias: bool = True,
-             half_layers=(), residual_layers=(), residual_dims=()) -> dict:
-    """Build the layer list; dims follow models/mlp.py:23-33 exactly."""
+             half_layers=(), residual_layers=(), residual_dims=(),
+             act_type: str = "leakyrelu", last_act_type: str = "none",
+             act_a: float = 1.0, act_b: float = 1.0,
+             act_trainable: bool = False) -> dict:
+    """Build the layer list; dims follow models/mlp.py:23-33 exactly.
+
+    Per-layer activation params (``ff_act_trainable`` / PReLU slopes) are
+    stored under each layer's ``"act"`` key, one instance per layer like the
+    reference (models/mlp.py:37-39 — hidden layers get ``act_type`` with
+    ``num_channels=cur_out``, the last layer gets ``last_act_type``). The
+    key is absent for stateless activations, so default configs keep their
+    checkpoint layout.
+    """
     assert len(residual_dims) == len(residual_layers)
     layers = []
     keys = jax.random.split(key, num_layers)
@@ -113,8 +124,15 @@ def mlp_init(key: jax.Array, inp_dim: int, num_layers: int, num_channels: int,
             cur_inp += inp_dim
         if i in residual_layers:
             cur_inp += residual_dims[list(residual_layers).index(i)]
-        layers.append(linear_init(keys[i], cur_inp, cur_out, bias=bias,
-                                  use_wn=use_wn))
+        layer = linear_init(keys[i], cur_inp, cur_out, bias=bias,
+                            use_wn=use_wn)
+        cur_act = last_act_type if i == num_layers - 1 else act_type
+        ap = activation_param_init(cur_act, a=act_a, b=act_b,
+                                   trainable=act_trainable,
+                                   num_channels=cur_out)
+        if ap:
+            layer["act"] = ap
+        layers.append(layer)
     return {"layers": layers}
 
 
@@ -122,8 +140,6 @@ def mlp_apply(params: dict, x: jnp.ndarray, act_type: str = "leakyrelu",
               last_act_type: str = "none", a: float = 1.0, b: float = 1.0,
               skip_layers=(), residual_layers=(), residuals=(),
               policy: Policy = F32) -> jnp.ndarray:
-    act = build_activation(act_type, a=a, b=b)
-    last_act = build_activation(last_act_type, a=a, b=b)
     inp = x
     n = len(params["layers"])
     for i, layer in enumerate(params["layers"]):
@@ -133,7 +149,8 @@ def mlp_apply(params: dict, x: jnp.ndarray, act_type: str = "leakyrelu",
             x = jnp.concatenate(
                 [x, residuals[list(residual_layers).index(i)]], axis=-1)
         x = linear_apply(layer, x, policy)
-        x = last_act(x) if i == n - 1 else act(x)
+        cur_act = last_act_type if i == n - 1 else act_type
+        x = apply_activation(cur_act, x, layer.get("act"), a=a, b=b)
     return x
 
 
@@ -151,7 +168,10 @@ def feedforward_init(key: jax.Array, d_input: int, d_output: int, ff_cfg,
             use_wn=ff_cfg.use_wn, skip_layers=tuple(ff_cfg.skip_layers),
             half_layers=tuple(ff_cfg.half_layers),
             residual_layers=tuple(ff_cfg.get("residual_layers", [])),
-            residual_dims=tuple(ff_cfg.get("residual_dims", []))),
+            residual_dims=tuple(ff_cfg.get("residual_dims", [])),
+            act_type=ff_cfg.ff_act, last_act_type=ff_cfg.ff_last_act,
+            act_a=float(ff_cfg.ff_act_a), act_b=float(ff_cfg.ff_act_b),
+            act_trainable=bool(ff_cfg.ff_act_trainable)),
     }
     if ff_cfg.norm == "layernorm":
         p["innorm"] = layernorm_init(d_input)

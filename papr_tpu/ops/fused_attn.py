@@ -316,4 +316,5 @@ fused_scores.defvjp(_fs_fwd, _fs_bwd)
 
 def score_fusible(attn_cfg) -> bool:
     """True when the config's attention tail is covered by this kernel."""
-    return attn_cfg.score_act in ("relu", "none")
+    return (attn_cfg.score_act in ("relu", "none")
+            and attn_cfg.get("kernel_type", "scaled-dot") == "scaled-dot")

@@ -9,6 +9,12 @@ the learned lin heads, spatially averaged and summed.
 Weights: torchvision's IMAGENET1K_V1 VGG16 features + the repo's vgg.pth lin
 heads, converted once by tools/convert_vgg.py into a single .npz (HWIO conv
 kernels). Looked up from $PAPR_LPIPS_WEIGHTS or papr_tpu/assets/lpips_vgg.npz.
+
+The LEARNED LIN HEADS ship pre-converted (assets/lpips_lin.npz — the
+reference distributes them as its 6.7 KB vgg.pth; reference
+models/lpips.py:95-101); only the torchvision backbone needs the one-time
+conversion. When the backbone is absent, the random fallback still uses the
+real lin heads so the per-slice channel weighting matches the reference.
 """
 
 from __future__ import annotations
@@ -34,6 +40,18 @@ SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 DEFAULT_WEIGHTS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "assets", "lpips_vgg.npz")
+DEFAULT_LIN_WEIGHTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets", "lpips_lin.npz")
+
+
+def load_lin_params(path: str | None = None) -> list | None:
+    """The 5 learned lin-head weight vectors (converted reference vgg.pth),
+    or None when the asset is missing."""
+    path = path or DEFAULT_LIN_WEIGHTS
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as data:
+        return [jnp.asarray(data[f"lin{i}.w"]) for i in range(5)]
 
 
 def load_lpips_params(path: str | None = None) -> dict:
@@ -53,8 +71,12 @@ def load_lpips_params(path: str | None = None) -> dict:
     return {"convs": convs, "lins": lins}
 
 
-def random_lpips_params(key: jax.Array) -> dict:
-    """Random-weight instance (for tests without torchvision)."""
+def random_lpips_params(key: jax.Array, use_real_lins: bool = False) -> dict:
+    """Random-backbone instance (tests / no-torchvision fallback).
+
+    The conv backbone is random but the 5 lin heads come from the shipped
+    converted asset when available (``use_real_lins``), so the channel
+    weighting of each slice matches the reference's learned calibration."""
     convs = []
     in_c = 3
     for i, (out_c, _) in enumerate(VGG16_CONVS):
@@ -64,11 +86,13 @@ def random_lpips_params(key: jax.Array) -> dict:
             "b": jax.random.normal(k2, (out_c,)) * 0.05,
         })
         in_c = out_c
-    lins = []
-    slice_cs = (64, 128, 256, 512, 512)
-    for i, c in enumerate(slice_cs):
-        key, k = jax.random.split(key)
-        lins.append(jax.random.uniform(k, (c,)))
+    lins = load_lin_params() if use_real_lins else None
+    if lins is None:
+        lins = []
+        slice_cs = (64, 128, 256, 512, 512)
+        for i, c in enumerate(slice_cs):
+            key, k = jax.random.split(key)
+            lins.append(jax.random.uniform(k, (c,)))
     return {"convs": convs, "lins": lins}
 
 

@@ -40,20 +40,29 @@ def build_loss(cfg, policy=None):
       * "random" (default): deterministic random VGG weights (PRNGKey(0))
         — identical architecture/FLOPs, reproducible across runs, and the
         perceptual term still regularizes local structure;
+      * "random-lin": random backbone but the REAL learned lin heads from
+        the shipped converted asset (the reference's vgg.pth), so each
+        slice's channel weighting matches the reference calibration;
       * "drop": zero the lpips weight (round-2 behavior).
+    "random" stays bit-stable (fully random lins) so resumed runs keep the
+    exact loss they started with.
     """
     try:
         return get_loss(cfg.training.losses, policy=policy)
     except FileNotFoundError as e:
         mode = str(cfg.get_path("tpu.lpips_fallback", "random"))
-        if mode == "random":
+        if mode in ("random", "random-lin"):
             import jax
             from ..model.lpips_jax import random_lpips_params
+            real_lins = mode == "random-lin"
             print(f"WARNING: {e}\nWARNING: using DETERMINISTIC RANDOM VGG "
-                  "weights (seed 0) for the lpips term — identical FLOPs and "
+                  "weights (seed 0"
+                  + (", real lin heads" if real_lins else "")
+                  + ") for the lpips term — identical FLOPs and "
                   "reproducible, but not the pretrained perceptual metric "
                   "(tpu.lpips_fallback: drop to disable the term instead).")
-            lp = random_lpips_params(jax.random.PRNGKey(0))
+            lp = random_lpips_params(jax.random.PRNGKey(0),
+                                     use_real_lins=real_lins)
             return get_loss(cfg.training.losses, lpips_params=lp,
                             policy=policy)
         print(f"WARNING: {e}\nWARNING: continuing WITHOUT the lpips loss term.")

@@ -241,3 +241,41 @@ def test_loss_params_ride_as_runtime_args():
     np.testing.assert_allclose(float(fn_a(p, t, fn_a.params)), closure_a,
                                rtol=1e-6)
     assert abs(closure_a - float(fn_b(p, t))) > 1e-9
+
+
+def test_shipped_lin_asset_matches_reference_vgg_pth():
+    """assets/lpips_lin.npz is the reference's distributed vgg.pth lin heads
+    (reference models/lpips.py:95-101), converted to flat fp32 vectors."""
+    import os
+    from papr_tpu.model.lpips_jax import DEFAULT_LIN_WEIGHTS, load_lin_params
+
+    lins = load_lin_params()
+    assert lins is not None, f"missing shipped asset {DEFAULT_LIN_WEIGHTS}"
+    assert [int(l.shape[0]) for l in lins] == [64, 128, 256, 512, 512]
+    assert all(float(l.min()) >= 0.0 for l in lins)  # relu'd lin weights
+
+    ref_pth = "/root/reference/vgg.pth"
+    if os.path.exists(ref_pth):
+        ref = torch.load(ref_pth, map_location="cpu")
+        for i, l in enumerate(lins):
+            np.testing.assert_allclose(
+                np.asarray(l),
+                ref[f"lin{i}.model.1.weight"].numpy().reshape(-1),
+                rtol=0, atol=0)
+
+
+def test_random_lin_fallback_modes():
+    """'random' stays fully random (bit-stable for resumed runs);
+    'random-lin' swaps in the shipped learned lin heads."""
+    from papr_tpu.model.lpips_jax import load_lin_params, random_lpips_params
+
+    plain = random_lpips_params(jax.random.PRNGKey(0))
+    with_lin = random_lpips_params(jax.random.PRNGKey(0), use_real_lins=True)
+    # identical random backbone either way
+    np.testing.assert_array_equal(np.asarray(plain["convs"][0]["w"]),
+                                  np.asarray(with_lin["convs"][0]["w"]))
+    real = load_lin_params()
+    for l_got, l_real in zip(with_lin["lins"], real):
+        np.testing.assert_array_equal(np.asarray(l_got), np.asarray(l_real))
+    assert not np.allclose(np.asarray(plain["lins"][0]),
+                           np.asarray(real[0]))

@@ -5,6 +5,10 @@
 Run in any environment with torchvision + network access (or a cached
 torchvision checkpoint). This repo's runtime does not require torchvision.
 
+The lin heads alone (the 6.7 KB vgg.pth the reference distributes) ship
+pre-converted as papr_tpu/assets/lpips_lin.npz; only the torchvision
+backbone needs this one-time conversion.
+
 Usage:
   python tools/convert_vgg.py --lin-weights /path/to/vgg.pth \
       --out papr_tpu/assets/lpips_vgg.npz

@@ -86,8 +86,15 @@ def random_lpips_params(key: jax.Array, use_real_lins: bool = False) -> dict:
             "b": jax.random.normal(k2, (out_c,)) * 0.05,
         })
         in_c = out_c
-    lins = load_lin_params() if use_real_lins else None
-    if lins is None:
+    if use_real_lins:
+        lins = load_lin_params()
+        if lins is None:
+            # Explicitly requested calibration must not silently degrade.
+            raise FileNotFoundError(
+                f"real lin heads requested but {DEFAULT_LIN_WEIGHTS} is "
+                "missing; restore the shipped asset or use "
+                "tpu.lpips_fallback: random.")
+    else:
         lins = []
         slice_cs = (64, 128, 256, 512, 512)
         for i, c in enumerate(slice_cs):

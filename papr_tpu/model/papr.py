@@ -275,8 +275,15 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
         if impl == "auto":
             # tile-culled pallas kernel on real TPUs; exact XLA elsewhere
             # (interpret-mode pallas on CPU is only for tests).
-            impl = "cull" if jax.default_backend() == "tpu" and not multi \
-                and params["points"].shape[0] <= (1 << 15) else "xla"
+            cullable = (jax.default_backend() == "tpu"
+                        and params["points"].shape[0] <= (1 << 15))
+            if cullable and multi:
+                # Silent demotion would hide a 2-3x selection slowdown on
+                # multi-device hosts running plain-jit (render/eval) traces.
+                _warn_multi_device_fallback(
+                    "tpu.topk_impl=auto(cull) (set tpu.force_local: true "
+                    "for single-device serving on a multi-chip host)")
+            impl = "cull" if cullable and not multi else "xla"
         elif impl in ("cull", "pallas") and multi:
             _warn_multi_device_fallback(f"tpu.topk_impl={impl}")
             impl = "xla"
@@ -349,6 +356,10 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
         # (``local=True`` via ``_attend_spmd``); a potentially
         # GSPMD-partitioned trace keeps the unfused XLA path (no GSPMD
         # sharding rule for these pallas_calls).
+        if fusible and jax.default_backend() == "tpu" and multi:
+            _warn_multi_device_fallback(
+                "tpu.fused_attn=auto(streamrec) (set tpu.force_local: true "
+                "for single-device serving on a multi-chip host)")
         fa = ("streamrec" if (fusible and jax.default_backend() == "tpu"
                               and not multi) else False)
     elif multi and fa is not False:

@@ -32,6 +32,23 @@ def get_rays_np(H: int, W: int, focal_x: float, focal_y: float,
     return rays_o, (rays_d / norm).astype(np.float32)
 
 
+def get_rays_jnp(H: int, W: int, c2w: jnp.ndarray, focal: jnp.ndarray):
+    """Device-side twin of :func:`get_rays_np` at fineness=1 (same
+    pixel-center convention: x=(i - W/2 + 0.5)/fx, y negated, z=-1, rotate
+    by c2w then normalize). c2w (4,4), focal (2,) [fx, fy] ->
+    rays_o (1, 3), unit rays_d (H, W, 3). Used by the jitted serving path
+    so the camera convention has one source of truth."""
+    x = (jnp.arange(W, dtype=jnp.float32) - W / 2 + 0.5) / focal[0]
+    y = -(jnp.arange(H, dtype=jnp.float32) - H / 2 + 0.5) / focal[1]
+    dirs = jnp.stack([
+        jnp.broadcast_to(x[None, :], (H, W)),
+        jnp.broadcast_to(y[:, None], (H, W)),
+        jnp.full((H, W), -1.0, jnp.float32)], axis=-1)
+    rays_d = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], dirs)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return c2w[:3, -1][None], rays_d
+
+
 def cam_to_world_np(coords: np.ndarray, c2w: np.ndarray,
                     vector: bool = True) -> np.ndarray:
     """Homogeneous transform; vector=True transforms directions (w=0)."""

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from .fused_attn import NEG_BIG, _linear, _score_act_fwd, _score_act_mask
-from .fused_mlp import (_MXU_REDUCE, _bsum, _cfg_tuple, _layout, _pad2,
+from . import fused_mlp as _fm
+from .fused_mlp import (_bsum, _cfg_tuple, _layout, _pad2,
                         _pe_freq, _pe_freq_bwd, _posenc_plan, _round_up,
                         _row_mask_fix as _zero_rows, _split_refs,
                         _zero_lanes, walk_body_bwd, walk_body_fwd, walk_bwd,
@@ -53,7 +54,7 @@ def _dot_col(x, y, n_true, scale=1.0):
     """scale * sum(x*y) as a (rows, 1) column, where the product is already
     zero past lane n_true. MXU-reduced when enabled (fused_mlp._bsum), the
     original VPU shuffle-reduce otherwise."""
-    if _MXU_REDUCE:
+    if _fm._MXU_REDUCE:
         return _bsum(x * y, n_true, scale)[:, :1]
     s = jnp.sum(x * y, axis=1, keepdims=True)
     return s * scale if scale != 1.0 else s
@@ -633,7 +634,7 @@ def _mask3(x):
 
 def _rec_lane(recb, lane_idx):
     """One record lane as a (rows, 1) column."""
-    if _MXU_REDUCE:
+    if _fm._MXU_REDUCE:
         w = recb.shape[1]
         li = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
         e = (li == lane_idx).astype(jnp.float32)
@@ -647,7 +648,7 @@ def _geom_fwd(sel, rayo, rays, eps):
     """point_ray_geometry on (tile, rec_pad) fp32 arrays masked to lanes
     0:3 (papr.py _attend_kmaj / ops/geometry.py formulas)."""
     v = sel - rayo
-    if _MXU_REDUCE:
+    if _fm._MXU_REDUCE:
         t_al = _bsum(v * rays, 3)
         dd = _bsum(rays * rays, 3)
     else:
@@ -662,7 +663,7 @@ def _geom_bwd(dproj, dperp, rays, saved, eps):
     v, t_al, dd, c = saved
     dv = dperp
     dpe = dproj - dperp                      # proj's total cotangent
-    if _MXU_REDUCE:
+    if _fm._MXU_REDUCE:
         dc = _bsum(dpe * rays, 3)
     else:
         dc = jnp.sum(dpe * rays, axis=1, keepdims=True)

@@ -168,6 +168,13 @@ def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
     (H*W, k) int32 global indices (row-major ray order)."""
     chunk = _chunk_for(block * block)
     Mp = max(-(-M // chunk) * chunk, chunk)
+    # The kernel packs GLOBAL point indices into the IDX_MASK low bits
+    # (15 bits); a larger cloud would silently select index-mod-32768.
+    if points.shape[0] > IDX_MASK + 1:
+        raise ValueError(
+            f"select_topk_culled packs global point indices into "
+            f"{IDX_MASK + 1}-entry index bits; got P={points.shape[0]}. "
+            "Use tpu.topk_impl: xla for larger clouds.")
     points = jax.lax.stop_gradient(points).astype(jnp.float32)
     rays_o = jax.lax.stop_gradient(rays_o).astype(jnp.float32)
     rays_d_hw = jax.lax.stop_gradient(rays_d_hw).astype(jnp.float32)

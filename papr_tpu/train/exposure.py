@@ -43,9 +43,13 @@ def _candidate_scores_fn(cfg, loss_fn=None):
     if by_loss and loss_fn is None:
         from .loop import build_loss
         loss_fn = build_loss(cfg)
+    # LPIPS backbone weights ride as a runtime jit arg — closure capture
+    # would inline them as HLO constants (the ~28-minute remote-compile
+    # problem; see losses.py get_loss docstring).
+    loss_params = getattr(loss_fn, "params", {}) if by_loss else {}
 
     @jax.jit
-    def score_codes(params, fused, bkg_attn, img, codes):
+    def score_codes_impl(params, fused, bkg_attn, img, codes, lp):
         def decode(code):
             gamma, beta = mapping_apply(params, cfg, code, policy)
             fg = render_foreground(params, cfg, fused, gamma, beta, policy)
@@ -53,10 +57,16 @@ def _candidate_scores_fn(cfg, loss_fn=None):
                                        bkg_attn)[..., 0, :]
             rgb = last_act(rgb)
             if by_loss:
-                return loss_fn(rgb, img)
+                # 3-arg only when there are runtime weights; custom 2-arg
+                # loss fns (tests, user callables) keep working.
+                return loss_fn(rgb, img, lp) if lp else loss_fn(rgb, img)
             return jnp.mean((rgb - img) ** 2)
 
         return jax.vmap(decode)(codes)
+
+    def score_codes(params, fused, bkg_attn, img, codes):
+        return score_codes_impl(params, fused, bkg_attn, img, codes,
+                                loss_params)
 
     return score_codes
 

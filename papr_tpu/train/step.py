@@ -187,15 +187,8 @@ def _frame_fn(cfg, policy, H: int, W: int, tile_h: int, tile_w: int,
 
         @jax.jit
         def fn(params, state, c2w, focal):
-            x = (jnp.arange(W, dtype=jnp.float32) - W / 2 + 0.5) / focal[0]
-            y = -(jnp.arange(H, dtype=jnp.float32) - H / 2 + 0.5) / focal[1]
-            dirs = jnp.stack([
-                jnp.broadcast_to(x[None, :], (H, W)),
-                jnp.broadcast_to(y[:, None], (H, W)),
-                jnp.full((H, W), -1.0, jnp.float32)], axis=-1)
-            rayd = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], dirs)
-            rayd = rayd / jnp.linalg.norm(rayd, axis=-1, keepdims=True)
-            rayo = c2w[:3, -1][None]                        # (1, 3)
+            from ..ops.geometry import get_rays_jnp
+            rayo, rayd = get_rays_jnp(H, W, c2w, focal)     # (1,3),(H,W,3)
             rayd = jnp.pad(rayd, ((0, ph), (0, pw), (0, 0)), mode="edge")
             tiles = rayd.reshape(ty, tile_h, tx, tile_w, 3).transpose(
                 0, 2, 1, 3, 4)[None]                        # (1,ty,tx,th,tw,3)

@@ -229,3 +229,64 @@ def test_mxu_reduce_matches_vpu_reduce(monkeypatch):
         outs[flag] = [np.asarray(t) for t in (y, dx, da, db)]
     for u, v in zip(outs[False], outs[True]):
         np.testing.assert_allclose(u, v, rtol=5e-5, atol=5e-5)
+
+
+def test_mxu_reduce_reaches_stream_attn_helpers(monkeypatch):
+    """stream_attn reads fused_mlp._MXU_REDUCE at call time (not a copied
+    import-time value), and its MXU variants (_dot_col, _rec_lane,
+    _geom_fwd/_geom_bwd) match the VPU forms."""
+    import numpy as np
+    import jax.numpy as jnp
+    import papr_tpu.ops.fused_mlp as fm
+    import papr_tpu.ops.stream_attn as sa
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((32, 256)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((32, 256)).astype(np.float32))
+    rec = jnp.asarray(rng.standard_normal((32, 128)).astype(np.float32))
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) < 3
+    sel = jnp.where(lane3, x, 0.0)
+    rayo = jnp.where(lane3, y[:1], 0.0)
+    rays = jnp.where(lane3, y, 0.0)
+    g1 = jnp.where(lane3, jnp.asarray(
+        rng.standard_normal(x.shape).astype(np.float32)), 0.0)
+    g2 = jnp.where(lane3, jnp.asarray(
+        rng.standard_normal(x.shape).astype(np.float32)), 0.0)
+
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(fm, "_MXU_REDUCE", flag)
+        dot = sa._dot_col(sel, rays, 3, 0.25)
+        rl = sa._rec_lane(rec, 5)
+        proj, perp, saved = sa._geom_fwd(sel, rayo, rays, 1e-6)
+        bwd = sa._geom_bwd(g1, g2, rays, saved, 1e-6)
+        outs[flag] = [np.asarray(t) for t in
+                      (dot, rl, proj, perp) + tuple(jnp.atleast_2d(b)
+                                                    for b in bwd)]
+    assert len(outs[False]) == len(outs[True])
+    for u, v in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(u, v, rtol=5e-5, atol=5e-5)
+
+
+def test_get_rays_jnp_matches_host_convention():
+    """The device-side serving-path ray generator equals get_rays_np at
+    fineness=1 (one source of truth for the camera convention)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from papr_tpu.ops.geometry import get_rays_jnp, get_rays_np
+
+    rng = np.random.default_rng(0)
+    # a valid c2w: random rotation (QR) + translation
+    q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = q.astype(np.float32)
+    c2w[:3, 3] = rng.standard_normal(3).astype(np.float32)
+    H, W, fx, fy = 12, 20, 31.7, 29.3
+
+    ro_np, rd_np = get_rays_np(H, W, fx, fy, c2w[None])
+    ro_j, rd_j = get_rays_jnp(H, W, jnp.asarray(c2w),
+                              jnp.asarray([fx, fy], jnp.float32))
+    np.testing.assert_allclose(np.asarray(ro_j).reshape(3), ro_np[0].reshape(3),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rd_j), rd_np[0], rtol=1e-5,
+                               atol=1e-5)

@@ -558,3 +558,43 @@ def test_stream_train_step_gradients_model_level(mode):
                     jax.tree.leaves(results["off"][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_rec_key_kernel_matches_reference_under_mxu_reduce(monkeypatch):
+    """Full rec-native key kernel (fwd + grads) with the MXU lane-reduce
+    branches active — helper-level parity (test_round3_fixes) composed
+    through the real pallas kernel in interpret mode."""
+    import papr_tpu.ops.fused_mlp as fm
+    monkeypatch.setattr(fm, "_MXU_REDUCE", True)
+
+    T, K, tile, extra = 64, 6, 32, 4
+    ff_cfg, ff, rec, rayo, rays, qq, wk, bk = _rec_setup(
+        jax.random.PRNGKey(21), T, K, extra_dim=extra)
+    got = _rec_stream(ff_cfg, ff, rec, rayo, rays, qq, wk, bk,
+                      extra_dim=extra, tile=tile)
+    want = _rec_ref(ff_cfg, ff, rec, rayo, rays, qq, wk, bk,
+                    extra_dim=extra)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    ev = jax.random.normal(jax.random.PRNGKey(22), (K, T, 8))
+    tgt_f = jax.random.normal(jax.random.PRNGKey(23), (T, 8))
+
+    def loss(attn_fn, ff, rec, rayo, rays, qq, wk, bk):
+        attn = attn_fn(ff_cfg, ff, rec, rayo, rays, qq, wk, bk,
+                       extra_dim=extra)
+        topk = attn[:, :-1]
+        topk = topk / jnp.sum(topk, axis=-1, keepdims=True)
+        fused = jnp.einsum("tk,ktc->tc", topk, ev)
+        return jnp.mean((fused - tgt_f) ** 2)
+
+    st = lambda *a_, **kw: _rec_stream(*a_, tile=tile, **kw)
+    argnums = tuple(range(7))
+    args = (ff, rec, rayo, rays, qq, wk, bk)
+    gf = jax.grad(lambda *a_: loss(st, *a_), argnums)(*args)
+    gr = jax.grad(lambda *a_: loss(_rec_ref, *a_), argnums)(*args)
+    for name, a_, b_ in zip(["ff", "rec", "rayo", "rays", "qq", "wk", "bk"],
+                            gf, gr):
+        for la, lb in zip(jax.tree.leaves(a_), jax.tree.leaves(b_)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=3e-4, atol=1e-6, err_msg=name)

@@ -191,3 +191,31 @@ def test_exposure_test_modes_cli(trained, tmp_path):
     out2 = _run(["test.py", "--opt", cfg_path, "--exp", "--intrp",
                  "--view", "0", "--num_samples", "2", "--num_intrp", "2"])
     assert "Avg test loss" in out2
+
+
+def test_list_schedules_drive_prune_thresh_and_add_num(scene, tmp_path):
+    """prune_steps_list/prune_thresh_list pick the threshold by bisect and
+    add_steps_list/add_num_list pin the growth count (reference
+    train.py:208-227); events appear at the scheduled steps."""
+    import re
+    cfg_path = _write_cfg(
+        tmp_path, scene,
+        **{"index": "smoke_lists",
+           "training": {
+               "steps": 13,
+               "prune_steps": 4, "prune_start": 4, "prune_stop": 13,
+               # bisect_left(list, step): step 4 -> thresh -1 (prunes
+               # nothing), step 8/12 -> 1e9 (prunes everything alive...)
+               # use harmless thresholds; we assert the EVENTS, and that
+               # growth counts follow add_num_list.
+               "prune_steps_list": [6, 10],
+               "prune_thresh_list": [-1.0, -1.0, -1.0],
+               "add_steps_list": [8, 12],
+               "add_num_list": [3, 7],
+           }})
+    out = _run(["train.py", "--opt", cfg_path])
+    pruned_steps = [int(m) for m in re.findall(r"Step (\d+): Pruned", out)]
+    added = re.findall(r"Step (\d+): Added (\d+) points", out)
+    assert pruned_steps == [4, 8, 12]
+    # adds happen only at list steps, with the listed counts
+    assert [(int(s), int(n)) for s, n in added] == [(8, 3), (12, 7)]

@@ -125,6 +125,10 @@ def create_model(cfg, key: jax.Array, init_points: np.ndarray | None = None):
     static ``pad_num_pts``; slots beyond the live count are parked far away
     (1e8) and masked.
     """
+    # Apply the process-level tpu.mxu_reduce choice before any tracing
+    # (kernels read the flag at trace time).
+    from ..ops.fused_mlp import set_mxu_reduce
+    set_mxu_reduce(cfg)
     meta = model_meta(cfg)
     point_opt = cfg.geoms.points
     np_rng = np.random.default_rng(int(cfg.seed))

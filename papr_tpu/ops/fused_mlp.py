@@ -61,6 +61,16 @@ _LANE = 128
 _MXU_REDUCE = os.environ.get("PAPR_MXU_REDUCE", "0") == "1"
 
 
+def set_mxu_reduce(cfg) -> None:
+    """Apply ``tpu.mxu_reduce`` (true/false; "env" keeps PAPR_MXU_REDUCE) to
+    the process-level flag. Call before tracing; kernels read it at trace
+    time (stream_attn reads through this module)."""
+    global _MXU_REDUCE
+    v = cfg.get_path("tpu.mxu_reduce", "env")
+    if v != "env":
+        _MXU_REDUCE = bool(v)
+
+
 def _bsum(x, n_true, scale=1.0):
     """Masked row-sum broadcast to full width: out[:, j] = scale *
     sum(x[:, :n_true]) for every j. Rides the MXU (fp32, default

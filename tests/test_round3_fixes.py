@@ -290,3 +290,32 @@ def test_get_rays_jnp_matches_host_convention():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(rd_j), rd_np[0], rtol=1e-5,
                                atol=1e-5)
+
+
+def test_mxu_reduce_config_knob(monkeypatch):
+    """tpu.mxu_reduce true/false overrides the env default at create_model;
+    "env" leaves it untouched."""
+    import papr_tpu.ops.fused_mlp as fm
+    from papr_tpu.config import load_config
+    from papr_tpu.model.papr import create_model
+
+    monkeypatch.setattr(fm, "_MXU_REDUCE", False)
+    cfg = load_config(overrides={
+        "max_num_pts": 16, "geoms": {"points": {"init_num": 16,
+                                                "select_k": 2}},
+        "tpu": {"mxu_reduce": True}})
+    create_model(cfg, jax.random.PRNGKey(0))
+    assert fm._MXU_REDUCE is True
+
+    cfg2 = load_config(overrides={
+        "max_num_pts": 16, "geoms": {"points": {"init_num": 16,
+                                                "select_k": 2}}})
+    create_model(cfg2, jax.random.PRNGKey(0))
+    assert fm._MXU_REDUCE is True  # "env" default leaves the flag alone
+
+    cfg3 = load_config(overrides={
+        "max_num_pts": 16, "geoms": {"points": {"init_num": 16,
+                                                "select_k": 2}},
+        "tpu": {"mxu_reduce": False}})
+    create_model(cfg3, jax.random.PRNGKey(0))
+    assert fm._MXU_REDUCE is False

@@ -77,6 +77,8 @@ def bench_render(hw=None):
 
     small = bool(_os.environ.get("PAPR_BENCH_SMALL"))
     side = 160 if small else 800
+    if hw and small:
+        hw = (hw[0] // 4, hw[1] // 4)   # keep the t2 aspect, CI-runnable
     H, W = hw if hw else (side, side)
     cfg = _flagship_cfg(patch=160, points=2048 if small else 30000,
                         k=8 if small else 20)

@@ -54,10 +54,11 @@ _LANE = 128
 # ~7 shuffle-add passes down plus ~7 back up, and the walk runs ~11 of them
 # per (tile, k) slice while the MXU sits ~80% idle. _bsum moves them onto
 # the MXU as a matmul against a masked-ones matrix, which also yields the
-# broadcast for free (every output lane holds the sum). Opt-in via
-# PAPR_MXU_REDUCE=1 until A/B-timed on hardware (the (w,w) masks live in
-# VMEM per reduction site and the value-backward kernel is within 88 KB of
-# the 16 MB scoped limit at ray tile 512).
+# broadcast for free (every output lane holds the sum). A/B-timed on v5e
+# (2026-08-18, full train step with LPIPS, 2 runs each): ON 425-428k rays/s
+# vs OFF 434-454k — the MXU matmuls LOSE ~3-6% (the masked-ones matmul
+# serializes against the walk's real matmuls instead of overlapping them on
+# the VPU), so the default stays OFF; the knob remains for other shapes.
 _MXU_REDUCE = os.environ.get("PAPR_MXU_REDUCE", "0") == "1"
 
 

@@ -650,11 +650,16 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                 e.value.ff_act, e.value.ff_last_act, normalize, tile,
                 interp, cdt_name)                           # (T, C)
     else:
-        # Renormalize + fuse epilogue (models/model.py:533-534).
+        # Renormalize + fuse epilogue (models/model.py:533-534). All-dead
+        # rays (every selected slot padding, so the foreground mass is
+        # EXACTLY 0 — possible only in this padded static-shape design,
+        # never in the reference's dynamic shapes) renormalize against 1
+        # instead of 0/0: fused becomes 0 and the composite is pure
+        # background, which is the correct limit (bkg_attn == 1 there).
         topk_attn = attn[:, :-1]
         if normalize:
-            topk_attn = topk_attn / jnp.sum(topk_attn, axis=-1,
-                                            keepdims=True)
+            den = jnp.sum(topk_attn, axis=-1, keepdims=True)
+            topk_attn = topk_attn / jnp.where(den > 0, den, 1.0)
         fused_f = jnp.einsum("tk,ktc->tc", topk_attn,
                              ev3.astype(jnp.float32))
 
@@ -675,7 +680,11 @@ def _softmax_fuse(cfg, embedv, scores, bkg_score: float):
     attn = jax.nn.softmax(all_scores, axis=-1)
     topk_attn = attn[..., :-1]
     if cfg.models.normalize_topk_attn:
-        topk_attn = topk_attn / jnp.sum(topk_attn, axis=-1, keepdims=True)
+        # Guarded against all-dead rays (foreground mass exactly 0): see
+        # the stream epilogue note in _attend — fused 0 / pure-bkg
+        # composite is the correct limit, NaN would poison the UNet.
+        den = jnp.sum(topk_attn, axis=-1, keepdims=True)
+        topk_attn = topk_attn / jnp.where(den > 0, den, 1.0)
     fused = jnp.sum(embedv.astype(jnp.float32) * topk_attn[..., None], axis=-2)
     return fused, attn
 

@@ -375,7 +375,11 @@ def _vs_fwd_kernel(meta, xv_ref, attn_ref, *refs):
     fg = attn[:, :K]
     w = _col_select(fg, k)
     if normalize:
-        w = w / jnp.sum(fg, axis=1, keepdims=True)
+        # All-dead rays (foreground mass exactly 0: every selected slot is
+        # padding) divide by 1 instead of 0/0 — fused stays 0 there and
+        # the composite is pure background (matches the unfused path).
+        S = jnp.sum(fg, axis=1, keepdims=True)
+        w = w / jnp.where(S > 0, S, 1.0)
     contrib = w * yc
     fused_ref[:] = jnp.where(k == 0, contrib,
                              fused_ref[:] + contrib).astype(fused_ref.dtype)
@@ -404,7 +408,11 @@ def _vs_bwd_kernel(meta, xv_ref, attn_ref, dfused_ref, *refs):
         _zero_rows(dfused_ref[:], tile, T).astype(jnp.float32), vcfg[6])
     attn = _zero_rows(attn_ref[:], tile, T).astype(jnp.float32)
     fg = attn[:, :K]
+    # Safe denominator: overhang rows AND genuinely all-dead rays have
+    # foreground mass exactly 0 — divide by 1 there (w = 0, zero gradient
+    # contribution) instead of 0/0 (matches the guarded unfused path).
     S = jnp.sum(fg, axis=1, keepdims=True)
+    S = jnp.where(S > 0, S, 1.0)
     w = _col_select(fg, k)
     if normalize:
         w = w / S
@@ -434,10 +442,8 @@ def _vs_bwd_kernel(meta, xv_ref, attn_ref, dfused_ref, *refs):
             dfg = datt
         dattn_ref[:] = dfg
 
-    # Overhang rows have S = 0 (attn row-masked), so w is 0/0 = NaN there
-    # under normalize; re-mask AFTER the multiply or the NaN rows poison
-    # the cross-row dW/db/dLN accumulators. (Genuinely all-dead rays keep
-    # the unfused path's NaN semantics — those rows are < T.)
+    # The S guard above makes overhang and all-dead rows w = 0 (no NaN);
+    # the re-mask stays as defense for the dW/db/dLN accumulators.
     g = _zero_rows((w * dfused).astype(jnp.float32), tile, T)
 
     def acc(kind, i, val):
@@ -1494,7 +1500,11 @@ def _vsr_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, *refs):
     fg = attn[:, :K]
     w = _col_select(fg, k)
     if normalize:
-        w = w / jnp.sum(fg, axis=1, keepdims=True)
+        # All-dead rays (foreground mass exactly 0: every selected slot is
+        # padding) divide by 1 instead of 0/0 — fused stays 0 there and
+        # the composite is pure background (matches the unfused path).
+        S = jnp.sum(fg, axis=1, keepdims=True)
+        w = w / jnp.where(S > 0, S, 1.0)
     contrib = w * yc
     fused_ref[:] = jnp.where(k == 0, contrib,
                              fused_ref[:] + contrib).astype(fused_ref.dtype)
@@ -1525,7 +1535,11 @@ def _vsr_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, dfused_ref,
         _zero_rows(dfused_ref[:], tile, T).astype(jnp.float32), vcfg[6])
     attn = _zero_rows(attn_ref[:], tile, T).astype(jnp.float32)
     fg = attn[:, :K]
+    # Safe denominator: overhang rows AND genuinely all-dead rays have
+    # foreground mass exactly 0 — divide by 1 there (w = 0, zero gradient
+    # contribution) instead of 0/0 (matches the guarded unfused path).
     S = jnp.sum(fg, axis=1, keepdims=True)
+    S = jnp.where(S > 0, S, 1.0)
     w = _col_select(fg, k)
     if normalize:
         w = w / S

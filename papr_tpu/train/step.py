@@ -269,7 +269,14 @@ def render_full_image(params, state, cfg, rayo, rayd, tile_h: int,
 
     ph = -(-H // tile_h) * tile_h - H
     pw = -(-W // tile_w) * tile_w - W
-    rayd_p = np.pad(np.asarray(rayd), ((0, 0), (0, ph), (0, pw), (0, 0)))
+    # Edge-replicate (NOT zero-pad): zero ray directions in the overhang
+    # poison the cull kernel's cone bounds (normalize -> NaN, per-ray
+    # scale 1/|d|^2 -> inf) for every VALID ray sharing a 16-pixel block
+    # with a pad ray. Fires only when H/W is not a tile multiple (e.g. the
+    # T&T 640x1088 eval shape with 100-px tiles); edge rays are unit-norm
+    # and keep the block cones sane. The pad region is cropped either way.
+    rayd_p = np.pad(np.asarray(rayd), ((0, 0), (0, ph), (0, pw), (0, 0)),
+                    mode="edge")
     Hp, Wp = H + ph, W + pw
     ty, tx = Hp // tile_h, Wp // tile_w
     tiles = rayd_p.reshape(N, ty, tile_h, tx, tile_w, 3).transpose(

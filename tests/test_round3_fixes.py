@@ -319,3 +319,87 @@ def test_mxu_reduce_config_knob(monkeypatch):
         "tpu": {"mxu_reduce": False}})
     create_model(cfg3, jax.random.PRNGKey(0))
     assert fm._MXU_REDUCE is False
+
+
+def _tiny_cfg(fa=None, topk="cull", P=64, k=4):
+    over = {
+        "use_amp": False, "max_num_pts": P,
+        "geoms": {"points": {"select_k": k, "init_num": P},
+                  "background": {"constant": 3.0}},
+        "models": {"attn": {"d_model": 16, "embed": {
+            "k_L": [2, 2, 2], "q_L": [2], "v_L": [2, 2],
+            "key": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2},
+            "query": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2},
+            "value": {"d_ff": 16, "d_ff_out": 16, "n_ff_layer": 2}}}},
+        "tpu": {"topk_impl": topk, "cull_candidates": 64},
+    }
+    if fa is not None:
+        over["tpu"]["fused_attn"] = fa
+    return load_config(overrides=over)
+
+
+@pytest.mark.parametrize("fa", [None, "streamrec"])
+def test_all_dead_rays_render_finite_pure_background(fa):
+    """Rays whose every selected slot is dead (foreground softmax mass
+    EXACTLY 0 — possible only in the padded static-shape design, never in
+    the reference's dynamic shapes) must render the pure background color
+    with finite gradients, not 0/0 = NaN through the renormalization
+    (regression: t2-shaped eval produced NaN for 13,760 border pixels).
+    Covers the unfused epilogue and the value-stream kernel (interpret)."""
+    cfg = _tiny_cfg(fa=fa)
+    policy = policy_from_config(cfg)
+    params, state = create_model(cfg, jax.random.PRNGKey(0))
+    state = dict(state, alive=jnp.zeros_like(state["alive"]))
+    rng = np.random.default_rng(0)
+    rayo = jnp.asarray(rng.normal(size=(1, 3)).astype(np.float32) * 3.0)
+    rayd = rng.normal(size=(1, 16, 16, 3)).astype(np.float32)
+    rayd /= np.linalg.norm(rayd, axis=-1, keepdims=True)
+    rayd = jnp.asarray(rayd)
+
+    def loss(p):
+        fused, attn, _, _ = _attend(p, state, cfg, rayo, rayd, policy,
+                                    remat=False, local=True)
+        return jnp.sum(fused ** 2) + jnp.sum(attn ** 2), (fused, attn)
+
+    (l, (fused, attn)), grads = jax.value_and_grad(loss, has_aux=True)(params)
+    fused, attn = np.asarray(fused), np.asarray(attn)
+    assert np.isfinite(float(l))
+    assert np.isfinite(fused).all(), "NaN leaked through the renorm guard"
+    np.testing.assert_allclose(fused, 0.0, atol=1e-7)
+    # all foreground mass on the background token: pure-bkg composite
+    np.testing.assert_allclose(attn[..., -1], 1.0, atol=1e-6)
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    for g in flat:
+        assert np.isfinite(np.asarray(g)).all(), "NaN gradient"
+
+
+def test_render_full_image_edge_pads_nontile_shapes():
+    """render_full_image must edge-replicate (not zero-pad) the overhang
+    when H/W is not a tile multiple: zero ray directions poison the cull
+    kernel's per-block cone bounds for VALID rays sharing a 16-pixel block
+    with the pad (regression: t2 640x1088 eval with 100-px tiles selected
+    all-dead slots for the bottom 8 rows / right 8 cols -> NaN)."""
+    from papr_tpu.model.papr import create_model
+    from papr_tpu.train.step import render_full_image
+
+    cfg = _tiny_cfg(topk="cull", P=64, k=4)
+    policy = policy_from_config(cfg)
+    params, state = create_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    H, W = 24, 40
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0, 0, 2.5]
+    rayo, rayd = get_rays_np(H, W, 30.0, 30.0, c2w[None])
+
+    # tile 16 -> pads 24x40 to 32x48 (overhang blocks mix valid+pad rays);
+    # tile (24, 40) -> single exact tile, the oracle.
+    out_pad = render_full_image(params, state, cfg, rayo, rayd, 16, 16,
+                                policy=policy, with_extras=True)
+    out_exact = render_full_image(params, state, cfg, rayo, rayd, H, W,
+                                  policy=policy, with_extras=True)
+    assert np.isfinite(out_pad["rgb"]).all()
+    fg = np.asarray(out_pad["attn"])[0, ..., 0][..., :-1].sum(-1)
+    assert (fg > 0).all(), "edge rays lost all alive selections"
+    # Different tilings give different cull-block cones -> near-tie
+    # selection differences; only gross corruption is a regression here.
+    np.testing.assert_allclose(out_pad["rgb"], out_exact["rgb"], atol=0.05)

@@ -72,14 +72,15 @@ def embed_kqv(params: dict, attn_cfg, k_features, q_features, v_features,
               policy: Policy = F32, remat: bool = False,
               dropout_rng: jax.Array | None = None, fused: bool = False,
               fused_interpret: bool = False, skip_k: bool = False,
-              skip_v: bool = False):
+              skip_v: bool = False, skip_q: bool = False):
     """Run the three geometric embedders -> (embed_k, embed_q, embed_v).
 
     Inputs are lists of geometric features shaped (..., K, d_i) (query:
     (..., 1, d_i)). ``dropout_rng`` enables embedder dropout (training only;
     rate = embed.*.dropout_ff, reference models/attn.py:108-117).
-    ``skip_k``/``skip_v`` return embed_k/embed_v as None (the streamed
-    attention kernels embed those slices themselves, ops/stream_attn.py).
+    ``skip_k``/``skip_v``/``skip_q`` return embed_k/embed_v/embed_q as None
+    (the streamed attention kernels embed those slices themselves,
+    ops/stream_attn.py; ``skip_q`` is the query-folded rec kernel).
     """
     e = attn_cfg.embed
     rngs = (jax.random.split(dropout_rng, 3) if dropout_rng is not None
@@ -105,7 +106,8 @@ def embed_kqv(params: dict, attn_cfg, k_features, q_features, v_features,
 
     k = (None if skip_k else
          run(params["embed_k"], k_features, e.k_L, k_extra, e.key, rngs[0]))
-    q = run(params["embed_q"], q_features, e.q_L, q_extra, e.query, rngs[1])
+    q = (None if skip_q else
+         run(params["embed_q"], q_features, e.q_L, q_extra, e.query, rngs[1]))
     v = (None if skip_v else
          run(params["embed_v"], v_features, e.v_L, v_extra, e.value, rngs[2]))
     return k, q, v

@@ -540,12 +540,20 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
         if pcf.use_inv:
             v_extra = [gathered]
 
+    # tpu.query_fold: run the query chain (posenc -> query embedder -> w_q)
+    # inside the rec-native key kernel instead of as separate XLA dispatches.
+    # Round-2 measured it 0.4 ms SLOWER at the forced bwd ray tile of 384
+    # (VMEM); the bwd cap is now 448 (15.9 MB scoped on the flagship shapes)
+    # which flips the trade — opt-in pending hardware A/B.
+    qfold = (rec_native and q_extra is None
+             and bool(cfg.get_path("tpu.query_fold", False)))
     ek, eq, ev = embed_kqv(
         params["attn"], attn_cfg, k_feats, q_feats, v_feats,
         k_extra, q_extra, v_extra, eps=eps, policy=policy,
         remat=remat and not (use_embed_kernel or use_stream),
         dropout_rng=None, fused=use_embed_kernel or use_stream,
-        fused_interpret=interp, skip_k=use_stream, skip_v=use_stream)
+        fused_interpret=interp, skip_k=use_stream, skip_v=use_stream,
+        skip_q=qfold)
     ev3 = None if use_stream else ev.reshape(k, T, ev.shape[-1])
 
     if use_stream:
@@ -558,6 +566,7 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
         from ..ops.fused_mlp import _ff_lns
         from ..ops.stream_attn import (key_stream_scores,
                                        key_stream_scores_rec,
+                                       key_stream_scores_recq,
                                        value_stream_fuse,
                                        value_stream_fuse_rec)
         k_extra_dim = int(pcf.dim) if k_extra is not None else 0
@@ -567,14 +576,29 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
         kln_in, kln_out = _ff_lns(kp)
         tile = int(cfg.get_path("tpu.fused_tile", 512))
         cdt_name = jnp.dtype(policy.compute_dtype).name
-        qq = linear_apply(params["attn"]["w_q"], eq, policy).astype(
-            jnp.float32)
-        if rec_native:
-            # NOTE: a query-folded variant exists (key_stream_scores_recq,
-            # parity-tested) but measured 0.4 ms SLOWER on v5e: folding the
-            # query state into the backward forces its ray tile from 512
-            # down to 384 (VMEM), which costs more than the saved query
-            # dispatches. The unfolded op stays the default.
+        qq = None if qfold else linear_apply(
+            params["attn"]["w_q"], eq, policy).astype(jnp.float32)
+        if qfold:
+            # Query-folded rec kernel: the query walk (posenc -> embedder
+            # -> w_q) runs in-kernel; the k==0 grid step computes qq into a
+            # block-resident buffer and the last k step back-propagates it.
+            qp = params["attn"]["embed_q"]
+            qws = tuple(l["w"].T for l in qp["mlp"]["layers"])
+            qbs = tuple(l["bias"] for l in qp["mlp"]["layers"])
+            qln_in, qln_out = _ff_lns(qp)
+            attn = key_stream_scores_recq(
+                rec, rayo_flat, rays, rayd_flat, kws, kbs, kln_in, kln_out,
+                params["attn"]["w_k"]["w"], params["attn"]["w_k"]["bias"],
+                qws, qbs, qln_in, qln_out,
+                params["attn"]["w_q"]["w"], params["attn"]["w_q"]["bias"],
+                (tuple(int(l) for l in e.k_L), int(e.embed_type),
+                 float(e.pe_factor), float(e.pe_mult_factor), k_extra_dim),
+                (tuple(int(l) for l in e.q_L), int(e.embed_type),
+                 float(e.pe_factor), float(e.pe_mult_factor)),
+                e.key.ff_act, e.key.ff_last_act,
+                e.query.ff_act, e.query.ff_last_act, attn_cfg.score_act,
+                bkg_score, eps, tile, interp, cdt_name)     # (T, K+1)
+        elif rec_native:
             attn = key_stream_scores_rec(
                 rec, rayo_flat, rays, qq, kws, kbs, kln_in, kln_out,
                 params["attn"]["w_k"]["w"], params["attn"]["w_k"]["bias"],

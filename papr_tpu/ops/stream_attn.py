@@ -49,6 +49,12 @@ from .fused_mlp import (_bsum, _cfg_tuple, _layout, _pad2,
 
 _LANE = 128
 
+# Raised scoped-VMEM budget for the query-folded backward (Mosaic defaults
+# to 16 MB; the folded kernel's key+query walk state needs 18.1 MB at ray
+# tile 512 — comfortably inside the chip's 128 MB VMEM).
+from jax.experimental.pallas import tpu as _pltpu
+_VMEM_20MB = _pltpu.CompilerParams(vmem_limit_bytes=20 * 1024 * 1024)
+
 
 def _dot_col(x, y, n_true, scale=1.0):
     """scale * sum(x*y) as a (rows, 1) column, where the product is already
@@ -1365,8 +1371,12 @@ def _ksrq_bwd(k_desc, q_desc, kact, klast, qact, qlast, score_act,
     n, m = len(kws), len(qws)
     # The folded backward carries the query walk's state (hs, weights,
     # grads, the qq residual) on top of the key walk's: 18.1 MB scoped VMEM
-    # at ray tile 512 on the flagship shapes. 384 fits the 16 MB budget.
-    tile = min(tile, 384, max(8, T))
+    # at ray tile 512 on the flagship shapes (measured: 16.48 MB at 448).
+    # That blows Mosaic's default 16 MB scoped budget, so this call raises
+    # vmem_limit_bytes to 20 MB instead of shrinking the tile (v5e has
+    # 128 MB VMEM; round 2's tile-384 cap cost more than the folded query
+    # chain saved).
+    tile = min(tile, max(8, T))
     (cdt, kdims, kpdims, S_k, kwsp, kbsp, klns, kcfg, qdims, qpdims, S_q,
      qwsp, qbsp, qlns, qcfg, dm, dm_pad, wkT, bk2, wqT,
      bq2) = _ksrq_layout(rec, kws, kbs, kln_in, kln_out, wk, bk, qws, qbs,
@@ -1435,6 +1445,7 @@ def _ksrq_bwd(k_desc, q_desc, kact, klast, qact, qlast, score_act,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        **({} if interpret else {"compiler_params": _VMEM_20MB}),
     )(rec, rayo, rays, rayd, qq, raw, ss, dattn, *S_k, *kwsp, *kbsp,
       *klns, wkT, bk2, *S_q, *qwsp, *qbsp, *qlns, wqT, bq2)
 

@@ -598,3 +598,51 @@ def test_rec_key_kernel_matches_reference_under_mxu_reduce(monkeypatch):
         for la, lb in zip(jax.tree.leaves(a_), jax.tree.leaves(b_)):
             np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                        rtol=3e-4, atol=1e-6, err_msg=name)
+
+
+# --------------------------------------------------- query fold (model) ----
+
+def test_query_fold_forward_matches_unfused_model_level():
+    """tpu.query_fold routes streamrec through key_stream_scores_recq."""
+    from test_round2_fixes import _rays, tiny_cfg
+    from papr_tpu.model.papr import create_model, forward
+
+    cfg_off = tiny_cfg(tpu={"fused_attn": False})
+    cfg_on = tiny_cfg(tpu={"fused_attn": "streamrec", "query_fold": True})
+    params, state = create_model(cfg_off, jax.random.PRNGKey(0))
+    rayo, rayd, c2w = _rays(H=8, W=8)
+
+    base = np.asarray(forward(params, state, cfg_off, rayo, rayd, c2w))
+    fused = np.asarray(forward(params, state, cfg_on, rayo, rayd, c2w))
+    np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-5)
+
+
+def test_query_fold_train_step_gradients_model_level():
+    """One full train step: query-fold kernels vs unfused XLA oracle.
+
+    Covers the folded query walk's backward (w_q / query-embedder /
+    ray-direction grads) composed with the full loss + optimizer."""
+    from test_round2_fixes import _rays, tiny_cfg
+    from papr_tpu.model.papr import create_model
+    from papr_tpu.train.step import make_opt_state, make_train_step
+
+    rayo, rayd, c2w = _rays(H=8, W=8)
+    target = np.random.default_rng(0).random((1, 8, 8, 3), np.float32)
+
+    results = {}
+    for name, tpu in (("off", {"fused_attn": False}),
+                      ("qfold", {"fused_attn": "streamrec",
+                                 "query_fold": True})):
+        cfg = tiny_cfg(tpu=tpu)
+        params, state = create_model(cfg, jax.random.PRNGKey(0))
+        opt = make_opt_state(cfg, params)
+        step_fn, _ = make_train_step(cfg, donate=False)
+        p1, _, loss, _ = step_fn(params, opt, state, rayo, rayd, target,
+                                 c2w, 0)
+        results[name] = (float(loss), p1)
+
+    assert results["qfold"][0] == pytest.approx(results["off"][0], rel=1e-5)
+    for a, b in zip(jax.tree.leaves(results["qfold"][1]),
+                    jax.tree.leaves(results["off"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)

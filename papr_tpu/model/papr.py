@@ -542,9 +542,11 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
 
     # tpu.query_fold: run the query chain (posenc -> query embedder -> w_q)
     # inside the rec-native key kernel instead of as separate XLA dispatches.
-    # Round-2 measured it 0.4 ms SLOWER at the forced bwd ray tile of 384
-    # (VMEM); the bwd cap is now 448 (15.9 MB scoped on the flagship shapes)
-    # which flips the trade — opt-in pending hardware A/B.
+    # Measured SLOWER both ways on v5e: round 2 at the VMEM-forced bwd tile
+    # of 384 (-0.4 ms), and round 3 at the FULL 512 tile with the scoped
+    # budget raised to 20 MB (435.9k vs 446.6k rays/s, -2.4% — the larger
+    # scoped footprint costs more pipelining than the saved query
+    # dispatches buy). Stays opt-in; default off.
     qfold = (rec_native and q_extra is None
              and bool(cfg.get_path("tpu.query_fold", False)))
     ek, eq, ev = embed_kqv(

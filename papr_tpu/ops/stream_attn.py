@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,11 +50,24 @@ from .fused_mlp import (_bsum, _cfg_tuple, _layout, _pad2,
 
 _LANE = 128
 
-# Raised scoped-VMEM budget for the query-folded backward (Mosaic defaults
-# to 16 MB; the folded kernel's key+query walk state needs 18.1 MB at ray
-# tile 512 — comfortably inside the chip's 128 MB VMEM).
 from jax.experimental.pallas import tpu as _pltpu
-_VMEM_20MB = _pltpu.CompilerParams(vmem_limit_bytes=20 * 1024 * 1024)
+
+
+def _cp(interpret, floor_mb=0):
+    """compiler_params kwargs for a stream-kernel pallas_call.
+
+    Mosaic defaults the scoped-VMEM budget to 16 MB (of the chip's 128 MB
+    VMEM); PAPR_VMEM_MB raises it (read at call/trace time — the A/B knob
+    for ray tiles past 512, whose backwards outgrow 16 MB). ``floor_mb``
+    is a per-kernel minimum: the query-folded backward needs 18.1 MB at
+    tile 512, so it floors at 20. Returns {} when the default budget
+    applies (bit-identical lowering to the unannotated call).
+    """
+    mb = max(int(os.environ.get("PAPR_VMEM_MB", "0") or 0), floor_mb)
+    if interpret or mb <= 0:
+        return {}
+    return {"compiler_params":
+            _pltpu.CompilerParams(vmem_limit_bytes=mb << 20)}
 
 
 def _dot_col(x, y, n_true, scale=1.0):
@@ -273,6 +287,7 @@ def _ks_fwd(xk, qq, ws, bs, ln_in, ln_out, wk, bk, influ, alive, pe_desc,
         out_shape=[jax.ShapeDtypeStruct((T, K + 1), jnp.float32),
                    jax.ShapeDtypeStruct((T, K), jnp.float32)],
         interpret=interpret,
+        **_cp(interpret),
     )(xk, qq, influ, alive.astype(jnp.float32), *pe, *wsp, *bsp, *lns,
       wkT, bk2)
     return attn, (xk, qq, ws, bs, ln_in, ln_out, wk, bk, influ, alive, raw)
@@ -327,6 +342,7 @@ def _ks_bwd(pe_desc, act, last_act, score_act, bkg_score, tile, interpret,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        **_cp(interpret),
     )(xk, qq, influ, alive.astype(jnp.float32), raw, dattn, *pe, *wsp,
       *bsp, *lns, wkT, bk2)
 
@@ -516,6 +532,7 @@ def _vs_fwd(xv, attn, ws, bs, ln_in, ln_out, pe_desc, act, last_act,
         out_specs=pl.BlockSpec((tile, pdims[-1]), trow),
         out_shape=jax.ShapeDtypeStruct((T, pdims[-1]), jnp.float32),
         interpret=interpret,
+        **_cp(interpret),
     )(xv, attn, *pe, *wsp, *bsp, *lns)
     return fused[:, :dims[-1]], (xv, attn, ws, bs, ln_in, ln_out)
 
@@ -564,6 +581,7 @@ def _vs_bwd(pe_desc, act, last_act, normalize, tile, interpret, compute,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        **_cp(interpret),
     )(xv, attn, dfused, *pe, *wsp, *bsp, *lns)
 
     dxv = outs[0][:, :, :d_feat].astype(xv.dtype)
@@ -952,6 +970,7 @@ def _ksr_fwd(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, enc_desc,
                    jax.ShapeDtypeStruct((T, K), jnp.float32),
                    jax.ShapeDtypeStruct((T, K), jnp.float32)],
         interpret=interpret,
+        **_cp(interpret),
     )(rec, rayo, rays, qq, *S_mats, *wsp, *bsp, *lns, wkT, bk2)
     return attn, (rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, raw,
                   ss)
@@ -1015,6 +1034,7 @@ def _ksr_bwd(enc_desc, act, last_act, score_act, bkg_score, eps, tile,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        **_cp(interpret),
     )(rec, rayo, rays, qq, raw, ss, dattn, *S_mats, *wsp, *bsp, *lns,
       wkT, bk2)
 
@@ -1357,6 +1377,7 @@ def _ksrq_fwd(rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out, wk, bk,
                    jax.ShapeDtypeStruct((T, K), jnp.float32),
                    jax.ShapeDtypeStruct((T, dm_pad), jnp.float32)],
         interpret=interpret,
+        **_cp(interpret),
     )(rec, rayo, rays, rayd, *S_k, *kwsp, *kbsp, *klns, wkT, bk2,
       *S_q, *qwsp, *qbsp, *qlns, wqT, bq2)
     return attn, (rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out, wk, bk,
@@ -1445,7 +1466,7 @@ def _ksrq_bwd(k_desc, q_desc, kact, klast, qact, qlast, score_act,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-        **({} if interpret else {"compiler_params": _VMEM_20MB}),
+        **_cp(interpret, floor_mb=20),
     )(rec, rayo, rays, rayd, qq, raw, ss, dattn, *S_k, *kwsp, *kbsp,
       *klns, wkT, bk2, *S_q, *qwsp, *qbsp, *qlns, wqT, bq2)
 
@@ -1636,6 +1657,7 @@ def _vsr_fwd(rec, rayo, rays, attn, ws, bs, ln_in, ln_out, enc_desc, act,
         out_specs=pl.BlockSpec((tile, pdims[-1]), trow),
         out_shape=jax.ShapeDtypeStruct((T, pdims[-1]), jnp.float32),
         interpret=interpret,
+        **_cp(interpret),
     )(rec, rayo, rays, attn, *S_mats, *wsp, *bsp, *lns)
     return fused[:, :dims[-1]], (rec, rayo, rays, attn, ws, bs, ln_in,
                                  ln_out)
@@ -1686,6 +1708,7 @@ def _vsr_bwd(enc_desc, act, last_act, normalize, eps, tile, interpret,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        **_cp(interpret),
     )(rec, rayo, rays, attn, dfused, *S_mats, *wsp, *bsp, *lns)
 
     drec = outs[0].astype(rec.dtype)

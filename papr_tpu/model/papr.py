@@ -774,16 +774,21 @@ def forward(params: dict, state: dict, cfg, rays_o, rays_d, c2w=None,
 
 
 def evaluate(params: dict, state: dict, cfg, rays_o, rays_d, c2w=None,
-             policy: Policy = F32, with_selected: bool = False):
+             policy: Policy = F32, with_selected: bool = False,
+             local: bool = False):
     """Attention half only, for tiled full-image rendering.
 
     Reference: models/model.py:462-492 — returns fused features
     (N, H, W, 1, C) and attention (N, H, W, K+1, 1); the UNet runs once over
     the gathered full-resolution feature map (train.py:59-70).
+
+    ``local=True`` marks a per-device trace inside a shard_map (the sharded
+    tile render, train/step.py) where the Pallas kernels are safe despite
+    ``jax.device_count() > 1``.
     """
     fused, attn, selected, _ = _attend(params, state, cfg, rays_o, rays_d,
                                        policy, remat=False,
-                                       exact_select=True)
+                                       exact_select=True, local=local)
     out = (fused[..., None, :], attn[..., None])
     if with_selected:
         return out + (selected,)

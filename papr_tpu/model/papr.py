@@ -56,6 +56,19 @@ def _warn_multi_device_fallback(what: str) -> None:
             "Multi-device runs keep the kernels via tpu.mesh (shard_map).")
 
 
+def _warn_qfold_ignored(why: str) -> None:
+    """One-time warning when ``tpu.query_fold: true`` cannot take effect
+    (the folded kernel exists only on the rec-native stream path)."""
+    key = f"qfold:{why}"
+    if key not in _warned_multi:
+        _warned_multi.add(key)
+        import warnings
+        warnings.warn(
+            f"tpu.query_fold: true ignored — {why}; the query chain runs "
+            "unfolded. The folded kernel needs tpu.fused_attn: streamrec "
+            "and no per-point query features (point_feats.use_inq).")
+
+
 # -------------------------------------------------------------- point init --
 
 def sphere_points(center, num_pts: int, scale) -> np.ndarray:
@@ -125,10 +138,6 @@ def create_model(cfg, key: jax.Array, init_points: np.ndarray | None = None):
     static ``pad_num_pts``; slots beyond the live count are parked far away
     (1e8) and masked.
     """
-    # Apply the process-level tpu.mxu_reduce choice before any tracing
-    # (kernels read the flag at trace time).
-    from ..ops.fused_mlp import set_mxu_reduce
-    set_mxu_reduce(cfg)
     meta = model_meta(cfg)
     point_opt = cfg.geoms.points
     np_rng = np.random.default_rng(int(cfg.seed))
@@ -506,6 +515,11 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
     interp = jax.default_backend() != "tpu"
     bkg_score = float(cfg.geoms.background.constant)
     normalize = bool(cfg.models.normalize_topk_attn)
+    # Per-config kernel knobs, threaded as static args (no process globals:
+    # two configs with different knobs coexist in one process).
+    from ..ops.fused_mlp import resolve_mxu_reduce
+    mxu = resolve_mxu_reduce(cfg)
+    vmem = int(cfg.get_path("tpu.vmem_mb", 0))
 
     # K-major gather: rec[k, t] is ray t's k-th selected point.
     record = _point_record(params, alive, meta, pcf)
@@ -547,15 +561,19 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
     # budget raised to 20 MB (435.9k vs 446.6k rays/s, -2.4% — the larger
     # scoped footprint costs more pipelining than the saved query
     # dispatches buy). Stays opt-in; default off.
-    qfold = (rec_native and q_extra is None
-             and bool(cfg.get_path("tpu.query_fold", False)))
+    want_qfold = bool(cfg.get_path("tpu.query_fold", False))
+    qfold = rec_native and q_extra is None and want_qfold
+    if want_qfold and not qfold:
+        _warn_qfold_ignored(
+            "rec-native streamrec preconditions do not hold "
+            f"(rec_native={rec_native}, q_extra={'set' if q_extra is not None else 'None'})")
     ek, eq, ev = embed_kqv(
         params["attn"], attn_cfg, k_feats, q_feats, v_feats,
         k_extra, q_extra, v_extra, eps=eps, policy=policy,
         remat=remat and not (use_embed_kernel or use_stream),
         dropout_rng=None, fused=use_embed_kernel or use_stream,
         fused_interpret=interp, skip_k=use_stream, skip_v=use_stream,
-        skip_q=qfold)
+        skip_q=qfold, mxu_reduce=mxu)
     ev3 = None if use_stream else ev.reshape(k, T, ev.shape[-1])
 
     if use_stream:
@@ -599,7 +617,8 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                  float(e.pe_factor), float(e.pe_mult_factor)),
                 e.key.ff_act, e.key.ff_last_act,
                 e.query.ff_act, e.query.ff_last_act, attn_cfg.score_act,
-                bkg_score, eps, tile, interp, cdt_name)     # (T, K+1)
+                bkg_score, eps, tile, interp, cdt_name,
+                mxu, vmem)                                  # (T, K+1)
         elif rec_native:
             attn = key_stream_scores_rec(
                 rec, rayo_flat, rays, qq, kws, kbs, kln_in, kln_out,
@@ -607,7 +626,8 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                 (tuple(int(l) for l in e.k_L), int(e.embed_type),
                  float(e.pe_factor), float(e.pe_mult_factor), k_extra_dim),
                 e.key.ff_act, e.key.ff_last_act, attn_cfg.score_act,
-                bkg_score, eps, tile, interp, cdt_name)     # (T, K+1)
+                bkg_score, eps, tile, interp, cdt_name,
+                mxu, vmem)                                  # (T, K+1)
         else:
             kx_parts = [jax.lax.stop_gradient(selected), proj, perp]
             if k_extra is not None:
@@ -623,7 +643,7 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                 influ.astype(jnp.float32), sel_alive.astype(jnp.float32),
                 pe_desc, e.key.ff_act, e.key.ff_last_act,
                 attn_cfg.score_act, bkg_score, tile, interp,
-                cdt_name)                                   # (T, K+1)
+                cdt_name, mxu, vmem)                        # (T, K+1)
     elif use_score_kernel:
         attn = fused_scores(
             ek.reshape(k, T, ek.shape[-1]), eq,
@@ -661,7 +681,7 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                 (tuple(int(l) for l in e.v_L), int(e.embed_type),
                  float(e.pe_factor), float(e.pe_mult_factor), v_extra_dim),
                 e.value.ff_act, e.value.ff_last_act, normalize, eps, tile,
-                interp, cdt_name)                           # (T, C)
+                interp, cdt_name, mxu, vmem)                # (T, C)
         else:
             vx_parts = [proj, perp]
             if v_extra is not None:
@@ -674,7 +694,7 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
             fused_f = value_stream_fuse(
                 xv, attn, vws, vbs, vln_in, vln_out, pe_desc_v,
                 e.value.ff_act, e.value.ff_last_act, normalize, tile,
-                interp, cdt_name)                           # (T, C)
+                interp, cdt_name, mxu, vmem)                # (T, C)
     else:
         # Renormalize + fuse epilogue (models/model.py:533-534). All-dead
         # rays (every selected slot padding, so the foreground mass is

@@ -40,6 +40,7 @@ padded in the wrapper.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -62,14 +63,33 @@ _LANE = 128
 _MXU_REDUCE = os.environ.get("PAPR_MXU_REDUCE", "0") == "1"
 
 
-def set_mxu_reduce(cfg) -> None:
-    """Apply ``tpu.mxu_reduce`` (true/false; "env" keeps PAPR_MXU_REDUCE) to
-    the process-level flag. Call before tracing; kernels read it at trace
-    time (stream_attn reads through this module)."""
+@contextlib.contextmanager
+def _mxu_scope(flag):
+    """Trace-scoped override of the MXU-reduce choice.
+
+    The kernel bodies (and stream_attn's helpers) read ``_MXU_REDUCE`` while
+    they are being traced; each fused entry point sets it for exactly the
+    duration of its own trace from an explicit static ``mxu_reduce``
+    argument, so two configs with different knobs coexist in one process
+    (no create_model-time global mutation). ``None`` keeps the process
+    default (env ``PAPR_MXU_REDUCE``)."""
     global _MXU_REDUCE
+    if flag is None:
+        yield
+        return
+    old = _MXU_REDUCE
+    _MXU_REDUCE = bool(flag)
+    try:
+        yield
+    finally:
+        _MXU_REDUCE = old
+
+
+def resolve_mxu_reduce(cfg):
+    """``tpu.mxu_reduce`` -> True/False, or None for "env" (process
+    default). Threaded by the model into every fused kernel call."""
     v = cfg.get_path("tpu.mxu_reduce", "env")
-    if v != "env":
-        _MXU_REDUCE = bool(v)
+    return None if v == "env" else bool(v)
 
 
 def _bsum(x, n_true, scale=1.0):
@@ -456,10 +476,10 @@ def _cfg_tuple(x, ws, ln_in, ln_out, act, last_act, tile, d_raw, d_enc,
             ln_out is not None, 1e-6)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def fused_mlp(x, ws, bs, ln_in=None, ln_out=None, act="relu",
               last_act="none", interpret=False, tile=512, pe_desc=None,
-              compute=None):
+              compute=None, mxu_reduce=None):
     """y = [posenc] [LN] MLP [LN] (x) with the whole block fused in VMEM.
 
     Args:
@@ -473,12 +493,19 @@ def fused_mlp(x, ws, bs, ln_in=None, ln_out=None, act="relu",
     Returns (T, d_out) in x.dtype.
     """
     y, _ = _fused_fwd(x, ws, bs, ln_in, ln_out, act, last_act, interpret,
-                      tile, pe_desc, compute)
+                      tile, pe_desc, compute, mxu_reduce)
     return y
 
 
 def _fused_fwd(x, ws, bs, ln_in, ln_out, act, last_act, interpret, tile,
-               pe_desc, compute=None):
+               pe_desc, compute=None, mxu_reduce=None):
+    with _mxu_scope(mxu_reduce):
+        return _fused_fwd_inner(x, ws, bs, ln_in, ln_out, act, last_act,
+                                interpret, tile, pe_desc, compute)
+
+
+def _fused_fwd_inner(x, ws, bs, ln_in, ln_out, act, last_act, interpret,
+                     tile, pe_desc, compute=None):
     n = len(ws)
     cdt = jnp.dtype(compute) if compute else _cdt(x)
     T = x.shape[0]
@@ -500,7 +527,15 @@ def _fused_fwd(x, ws, bs, ln_in, ln_out, act, last_act, interpret, tile,
     return y[:, :dims[-1]], (x, ws, bs, ln_in, ln_out)
 
 
-def _fused_bwd(act, last_act, interpret, tile, pe_desc, compute, res, dy):
+def _fused_bwd(act, last_act, interpret, tile, pe_desc, compute, mxu_reduce,
+               res, dy):
+    with _mxu_scope(mxu_reduce):
+        return _fused_bwd_inner(act, last_act, interpret, tile, pe_desc,
+                                compute, res, dy)
+
+
+def _fused_bwd_inner(act, last_act, interpret, tile, pe_desc, compute, res,
+                     dy):
     x, ws, bs, ln_in, ln_out = res
     n = len(ws)
     cdt = jnp.dtype(compute) if compute else _cdt(x)
@@ -582,7 +617,7 @@ def _ff_lns(params):
 
 
 def fused_feedforward_apply(params, x, ff_cfg, eps, policy,
-                            interpret=False, tile=512):
+                            interpret=False, tile=512, mxu_reduce=None):
     """Drop-in for feedforward_apply on fusible configs: the whole
     [LN] -> MLP -> [LN] block in one Pallas dispatch."""
     lead = x.shape[:-1]
@@ -591,12 +626,14 @@ def fused_feedforward_apply(params, x, ff_cfg, eps, policy,
     bs = tuple(l["bias"] for l in params["mlp"]["layers"])
     ln_in, ln_out = _ff_lns(params)
     y = fused_mlp(h, ws, bs, ln_in, ln_out, ff_cfg.ff_act,
-                  ff_cfg.ff_last_act, interpret, tile, None)
+                  ff_cfg.ff_last_act, interpret, tile, None, None,
+                  mxu_reduce)
     return y.reshape(*lead, y.shape[-1])
 
 
 def fused_embedder_apply(params, raw_features, extras, Ls, embed_cfg, ff_cfg,
-                         eps, policy, interpret=False, tile=512):
+                         eps, policy, interpret=False, tile=512,
+                         mxu_reduce=None):
     """The whole embedder — posenc + [LN] + MLP + [LN] — in one dispatch.
 
     raw_features: list of (..., d_i) UN-encoded geometric features
@@ -620,5 +657,5 @@ def fused_embedder_apply(params, raw_features, extras, Ls, embed_cfg, ff_cfg,
     ln_in, ln_out = _ff_lns(params)
     y = fused_mlp(h, ws, bs, ln_in, ln_out, ff_cfg.ff_act,
                   ff_cfg.ff_last_act, interpret, tile, pe_desc,
-                  jnp.dtype(policy.compute_dtype).name)
+                  jnp.dtype(policy.compute_dtype).name, mxu_reduce)
     return y.reshape(*lead, y.shape[-1])

@@ -53,17 +53,36 @@ _LANE = 128
 from jax.experimental.pallas import tpu as _pltpu
 
 
-def _cp(interpret, floor_mb=0):
+def _validate_mb(val, source):
+    """Scoped-VMEM budgets past the chip's 128 MB VMEM crash the TPU worker
+    at runtime instead of erroring (the tile-768 probe, docs/status); fail
+    loudly here instead. 100 MB leaves headroom for Mosaic's own buffers."""
+    mb = int(val or 0)
+    if mb < 0 or mb > 100:
+        raise ValueError(
+            f"{source}={mb} MB is outside [0, 100]; v5e has 128 MB VMEM "
+            "total and scoped budgets near it crash the worker at runtime.")
+    return mb
+
+
+# Read once at import (a mid-process env change after the first trace would
+# silently do nothing anyway — jit caches pin the traced value).
+_VMEM_ENV_MB = _validate_mb(os.environ.get("PAPR_VMEM_MB", "0"),
+                            "PAPR_VMEM_MB")
+
+
+def _cp(interpret, floor_mb=0, vmem_mb=0):
     """compiler_params kwargs for a stream-kernel pallas_call.
 
     Mosaic defaults the scoped-VMEM budget to 16 MB (of the chip's 128 MB
-    VMEM); PAPR_VMEM_MB raises it (read at call/trace time — the A/B knob
-    for ray tiles past 512, whose backwards outgrow 16 MB). ``floor_mb``
-    is a per-kernel minimum: the query-folded backward needs 18.1 MB at
-    tile 512, so it floors at 20. Returns {} when the default budget
-    applies (bit-identical lowering to the unannotated call).
+    VMEM); ``vmem_mb`` (the cfg knob ``tpu.vmem_mb``, threaded as a static
+    arg) or the import-time PAPR_VMEM_MB env default raises it — the A/B
+    knob for ray tiles past 512, whose backwards outgrow 16 MB.
+    ``floor_mb`` is a per-kernel minimum (the query-folded backward
+    computes it from its tile). Returns {} when the default budget applies
+    (bit-identical lowering to the unannotated call).
     """
-    mb = max(int(os.environ.get("PAPR_VMEM_MB", "0") or 0), floor_mb)
+    mb = max(_validate_mb(vmem_mb, "tpu.vmem_mb") or _VMEM_ENV_MB, floor_mb)
     if interpret or mb <= 0:
         return {}
     return {"compiler_params":
@@ -237,11 +256,12 @@ def _param_specs(n, pdims, pe, lns, dm_pad, const):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15,
-                                                    16, 17))
+                                                    16, 17, 18, 19))
 def key_stream_scores(xk, qq, ws, bs, ln_in, ln_out, wk, bk, influ, alive,
                       pe_desc=None, act="relu", last_act="none",
                       score_act="relu", bkg_score=5.0, tile=256,
-                      interpret=False, compute=None):
+                      interpret=False, compute=None, mxu_reduce=None,
+                      vmem_mb=0):
     """attn = softmax_k([score(embed(xk[k]), qq), bkg]) in one dispatch.
 
     Args:
@@ -257,12 +277,13 @@ def key_stream_scores(xk, qq, ws, bs, ln_in, ln_out, wk, bk, influ, alive,
     """
     out, _ = _ks_fwd(xk, qq, ws, bs, ln_in, ln_out, wk, bk, influ, alive,
                      pe_desc, act, last_act, score_act, bkg_score, tile,
-                     interpret, compute)
+                     interpret, compute, mxu_reduce, vmem_mb)
     return out
 
 
 def _ks_fwd(xk, qq, ws, bs, ln_in, ln_out, wk, bk, influ, alive, pe_desc,
-            act, last_act, score_act, bkg_score, tile, interpret, compute):
+            act, last_act, score_act, bkg_score, tile, interpret, compute,
+            mxu_reduce=None, vmem_mb=0):
     K, T, _ = xk.shape
     tile = min(tile, max(8, T))
     (cdt, d_raw, d_in_pad, dims, pdims, pe, wsp, bsp, lns, dm, dm_pad, wkT,
@@ -278,23 +299,24 @@ def _ks_fwd(xk, qq, ws, bs, ln_in, ln_out, wk, bk, influ, alive, pe_desc,
                  pl.BlockSpec((tile, K), trow)]
                 + _param_specs(len(ws), pdims, pe, lns, dm_pad, const))
 
-    attn, raw = pl.pallas_call(
-        functools.partial(_ks_fwd_kernel, meta),
-        grid=(_round_up(T, tile) // tile, K),
-        in_specs=in_specs,
-        out_specs=[pl.BlockSpec((tile, K + 1), trow),
-                   pl.BlockSpec((tile, K), trow)],
-        out_shape=[jax.ShapeDtypeStruct((T, K + 1), jnp.float32),
-                   jax.ShapeDtypeStruct((T, K), jnp.float32)],
-        interpret=interpret,
-        **_cp(interpret),
-    )(xk, qq, influ, alive.astype(jnp.float32), *pe, *wsp, *bsp, *lns,
-      wkT, bk2)
+    with _fm._mxu_scope(mxu_reduce):
+        attn, raw = pl.pallas_call(
+            functools.partial(_ks_fwd_kernel, meta),
+            grid=(_round_up(T, tile) // tile, K),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((tile, K + 1), trow),
+                       pl.BlockSpec((tile, K), trow)],
+            out_shape=[jax.ShapeDtypeStruct((T, K + 1), jnp.float32),
+                       jax.ShapeDtypeStruct((T, K), jnp.float32)],
+            interpret=interpret,
+            **_cp(interpret, vmem_mb=vmem_mb),
+        )(xk, qq, influ, alive.astype(jnp.float32), *pe, *wsp, *bsp, *lns,
+          wkT, bk2)
     return attn, (xk, qq, ws, bs, ln_in, ln_out, wk, bk, influ, alive, raw)
 
 
 def _ks_bwd(pe_desc, act, last_act, score_act, bkg_score, tile, interpret,
-            compute, res, dattn):
+            compute, mxu_reduce, vmem_mb, res, dattn):
     xk, qq, ws, bs, ln_in, ln_out, wk, bk, influ, alive, raw = res
     K, T, d_feat = xk.shape
     n = len(ws)
@@ -335,16 +357,17 @@ def _ks_bwd(pe_desc, act, last_act, score_act, bkg_score, tile, interpret,
                   + [jax.ShapeDtypeStruct(l.shape, jnp.float32)
                      for l in lns])
 
-    outs = pl.pallas_call(
-        functools.partial(_ks_bwd_kernel, meta),
-        grid=(_round_up(T, tile) // tile, K),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-        **_cp(interpret),
-    )(xk, qq, influ, alive.astype(jnp.float32), raw, dattn, *pe, *wsp,
-      *bsp, *lns, wkT, bk2)
+    with _fm._mxu_scope(mxu_reduce):
+        outs = pl.pallas_call(
+            functools.partial(_ks_bwd_kernel, meta),
+            grid=(_round_up(T, tile) // tile, K),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+            **_cp(interpret, vmem_mb=vmem_mb),
+        )(xk, qq, influ, alive.astype(jnp.float32), raw, dattn, *pe, *wsp,
+          *bsp, *lns, wkT, bk2)
 
     dxk = outs[0][:, :, :d_feat].astype(xk.dtype)
     dqq = outs[1][:, :dm].astype(qq.dtype)
@@ -487,10 +510,12 @@ def _vs_prep(xv, ws, bs, ln_in, ln_out, pe_desc, act, last_act, tile,
     return cdt, d_in_pad, dims, pdims, pe, wsp, bsp, lns, vcfg
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12,
+                                                    13, 14))
 def value_stream_fuse(xv, attn, ws, bs, ln_in, ln_out, pe_desc=None,
                       act="relu", last_act="none", normalize=True, tile=256,
-                      interpret=False, compute=None):
+                      interpret=False, compute=None, mxu_reduce=None,
+                      vmem_mb=0):
     """fused = sum_k renorm(attn)[:, k] * value_embed(xv[k]), one dispatch.
 
     Args:
@@ -503,12 +528,13 @@ def value_stream_fuse(xv, attn, ws, bs, ln_in, ln_out, pe_desc=None,
       fused (T, d_out) fp32 features.
     """
     out, _ = _vs_fwd(xv, attn, ws, bs, ln_in, ln_out, pe_desc, act,
-                     last_act, normalize, tile, interpret, compute)
+                     last_act, normalize, tile, interpret, compute,
+                     mxu_reduce, vmem_mb)
     return out
 
 
 def _vs_fwd(xv, attn, ws, bs, ln_in, ln_out, pe_desc, act, last_act,
-            normalize, tile, interpret, compute):
+            normalize, tile, interpret, compute, mxu_reduce=None, vmem_mb=0):
     K, T, _ = xv.shape
     tile = min(tile, max(8, T))
     (cdt, d_in_pad, dims, pdims, pe, wsp, bsp, lns, vcfg) = _vs_prep(
@@ -525,20 +551,21 @@ def _vs_fwd(xv, attn, ws, bs, ln_in, ln_out, pe_desc, act, last_act,
                    for i in range(len(ws))]
                 + [pl.BlockSpec(l.shape, const) for l in lns])
 
-    fused = pl.pallas_call(
-        functools.partial(_vs_fwd_kernel, meta),
-        grid=(_round_up(T, tile) // tile, K),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, pdims[-1]), trow),
-        out_shape=jax.ShapeDtypeStruct((T, pdims[-1]), jnp.float32),
-        interpret=interpret,
-        **_cp(interpret),
-    )(xv, attn, *pe, *wsp, *bsp, *lns)
+    with _fm._mxu_scope(mxu_reduce):
+        fused = pl.pallas_call(
+            functools.partial(_vs_fwd_kernel, meta),
+            grid=(_round_up(T, tile) // tile, K),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tile, pdims[-1]), trow),
+            out_shape=jax.ShapeDtypeStruct((T, pdims[-1]), jnp.float32),
+            interpret=interpret,
+            **_cp(interpret, vmem_mb=vmem_mb),
+        )(xv, attn, *pe, *wsp, *bsp, *lns)
     return fused[:, :dims[-1]], (xv, attn, ws, bs, ln_in, ln_out)
 
 
 def _vs_bwd(pe_desc, act, last_act, normalize, tile, interpret, compute,
-            res, dfused):
+            mxu_reduce, vmem_mb, res, dfused):
     xv, attn, ws, bs, ln_in, ln_out = res
     K, T, d_feat = xv.shape
     n = len(ws)
@@ -574,15 +601,16 @@ def _vs_bwd(pe_desc, act, last_act, normalize, tile, interpret, compute,
 
     # dfused lanes beyond d_out overhang the block (undefined reads); the
     # kernel zero-masks them, so no host-side pad copy is needed.
-    outs = pl.pallas_call(
-        functools.partial(_vs_bwd_kernel, meta),
-        grid=(_round_up(T, tile) // tile, K),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-        **_cp(interpret),
-    )(xv, attn, dfused, *pe, *wsp, *bsp, *lns)
+    with _fm._mxu_scope(mxu_reduce):
+        outs = pl.pallas_call(
+            functools.partial(_vs_bwd_kernel, meta),
+            grid=(_round_up(T, tile) // tile, K),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+            **_cp(interpret, vmem_mb=vmem_mb),
+        )(xv, attn, dfused, *pe, *wsp, *bsp, *lns)
 
     dxv = outs[0][:, :, :d_feat].astype(xv.dtype)
     dattn = outs[1].astype(attn.dtype)
@@ -909,11 +937,13 @@ def _rec_param_specs(n, pdims, S_mats, lns, const):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18))
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+                                    20))
 def key_stream_scores_rec(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk,
                           enc_desc=None, act="relu", last_act="none",
                           score_act="relu", bkg_score=5.0, eps=1e-6,
-                          tile=256, interpret=False, compute=None):
+                          tile=256, interpret=False, compute=None,
+                          mxu_reduce=None, vmem_mb=0):
     """Rec-native streamed key attention: geometry + posenc + embedder +
     score + softmax from the raw gathered point records, one dispatch.
 
@@ -928,13 +958,13 @@ def key_stream_scores_rec(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk,
     """
     out, _ = _ksr_fwd(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk,
                       enc_desc, act, last_act, score_act, bkg_score, eps,
-                      tile, interpret, compute)
+                      tile, interpret, compute, mxu_reduce, vmem_mb)
     return out
 
 
 def _ksr_fwd(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, enc_desc,
              act, last_act, score_act, bkg_score, eps, tile, interpret,
-             compute):
+             compute, mxu_reduce=None, vmem_mb=0):
     K, T, rec_pad = rec.shape
     # Forward holds no per-layer activations, so it runs at twice the
     # backward's ray tile — fewer grid steps amortize the per-step VPU
@@ -959,25 +989,26 @@ def _ksr_fwd(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, enc_desc,
                 + [pl.BlockSpec((pdims[-1], dm_pad), const),
                    pl.BlockSpec((1, dm_pad), const)])
 
-    attn, raw, ss = pl.pallas_call(
-        functools.partial(_ksr_fwd_kernel, meta),
-        grid=(_round_up(T, tile) // tile, K),
-        in_specs=in_specs,
-        out_specs=[pl.BlockSpec((tile, K + 1), trow),
-                   pl.BlockSpec((tile, K), trow),
-                   pl.BlockSpec((tile, K), trow)],
-        out_shape=[jax.ShapeDtypeStruct((T, K + 1), jnp.float32),
-                   jax.ShapeDtypeStruct((T, K), jnp.float32),
-                   jax.ShapeDtypeStruct((T, K), jnp.float32)],
-        interpret=interpret,
-        **_cp(interpret),
-    )(rec, rayo, rays, qq, *S_mats, *wsp, *bsp, *lns, wkT, bk2)
+    with _fm._mxu_scope(mxu_reduce):
+        attn, raw, ss = pl.pallas_call(
+            functools.partial(_ksr_fwd_kernel, meta),
+            grid=(_round_up(T, tile) // tile, K),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((tile, K + 1), trow),
+                       pl.BlockSpec((tile, K), trow),
+                       pl.BlockSpec((tile, K), trow)],
+            out_shape=[jax.ShapeDtypeStruct((T, K + 1), jnp.float32),
+                       jax.ShapeDtypeStruct((T, K), jnp.float32),
+                       jax.ShapeDtypeStruct((T, K), jnp.float32)],
+            interpret=interpret,
+            **_cp(interpret, vmem_mb=vmem_mb),
+        )(rec, rayo, rays, qq, *S_mats, *wsp, *bsp, *lns, wkT, bk2)
     return attn, (rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, raw,
                   ss)
 
 
 def _ksr_bwd(enc_desc, act, last_act, score_act, bkg_score, eps, tile,
-             interpret, compute, res, dattn):
+             interpret, compute, mxu_reduce, vmem_mb, res, dattn):
     (rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, raw, ss) = res
     K, T, rec_pad = rec.shape
     n = len(ws)
@@ -1027,16 +1058,17 @@ def _ksr_bwd(enc_desc, act, last_act, score_act, bkg_score, eps, tile,
                   + [jax.ShapeDtypeStruct(l.shape, jnp.float32)
                      for l in lns])
 
-    outs = pl.pallas_call(
-        functools.partial(_ksr_bwd_kernel, meta),
-        grid=(_round_up(T, tile) // tile, K),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-        **_cp(interpret),
-    )(rec, rayo, rays, qq, raw, ss, dattn, *S_mats, *wsp, *bsp, *lns,
-      wkT, bk2)
+    with _fm._mxu_scope(mxu_reduce):
+        outs = pl.pallas_call(
+            functools.partial(_ksr_bwd_kernel, meta),
+            grid=(_round_up(T, tile) // tile, K),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+            **_cp(interpret, vmem_mb=vmem_mb),
+        )(rec, rayo, rays, qq, raw, ss, dattn, *S_mats, *wsp, *bsp, *lns,
+          wkT, bk2)
 
     drec = outs[0].astype(rec.dtype)
     drayo = outs[1][:, :3].astype(rayo.dtype)
@@ -1290,13 +1322,14 @@ def _ksrq_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, rayd_ref, qq_ref,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=tuple(range(16, 28)))
+                   nondiff_argnums=tuple(range(16, 30)))
 def key_stream_scores_recq(rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out,
                            wk, bk, qws, qbs, qln_in, qln_out, wq, bq,
                            k_desc=None, q_desc=None, kact="relu",
                            klast="none", qact="relu", qlast="none",
                            score_act="relu", bkg_score=5.0, eps=1e-6,
-                           tile=256, interpret=False, compute=None):
+                           tile=256, interpret=False, compute=None,
+                           mxu_reduce=None, vmem_mb=0):
     """key_stream_scores_rec with the QUERY chain folded in.
 
     rayd: (T, 3) fp32 RAW (unnormalized) ray directions — the query
@@ -1306,7 +1339,8 @@ def key_stream_scores_recq(rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out,
     out, _ = _ksrq_fwd(rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out,
                        wk, bk, qws, qbs, qln_in, qln_out, wq, bq, k_desc,
                        q_desc, kact, klast, qact, qlast, score_act,
-                       bkg_score, eps, tile, interpret, compute)
+                       bkg_score, eps, tile, interpret, compute,
+                       mxu_reduce, vmem_mb)
     return out
 
 
@@ -1345,7 +1379,7 @@ def _ksrq_param_specs(n, kpdims, S_k, klns, m, qpdims, S_q, qlns, dm_pad,
 def _ksrq_fwd(rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out, wk, bk,
               qws, qbs, qln_in, qln_out, wq, bq, k_desc, q_desc, kact,
               klast, qact, qlast, score_act, bkg_score, eps, tile,
-              interpret, compute):
+              interpret, compute, mxu_reduce=None, vmem_mb=0):
     K, T, rec_pad = rec.shape
     tile = min(2 * tile, max(8, T))      # see _ksr_fwd
     (cdt, kdims, kpdims, S_k, kwsp, kbsp, klns, kcfg, qdims, qpdims, S_q,
@@ -1364,28 +1398,30 @@ def _ksrq_fwd(rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out, wk, bk,
                 + _ksrq_param_specs(len(kws), kpdims, S_k, klns, len(qws),
                                     qpdims, S_q, qlns, dm_pad, const))
 
-    attn, raw, ss, qq = pl.pallas_call(
-        functools.partial(_ksrq_fwd_kernel, meta),
-        grid=(_round_up(T, tile) // tile, K),
-        in_specs=in_specs,
-        out_specs=[pl.BlockSpec((tile, K + 1), trow),
-                   pl.BlockSpec((tile, K), trow),
-                   pl.BlockSpec((tile, K), trow),
-                   pl.BlockSpec((tile, dm_pad), trow)],
-        out_shape=[jax.ShapeDtypeStruct((T, K + 1), jnp.float32),
-                   jax.ShapeDtypeStruct((T, K), jnp.float32),
-                   jax.ShapeDtypeStruct((T, K), jnp.float32),
-                   jax.ShapeDtypeStruct((T, dm_pad), jnp.float32)],
-        interpret=interpret,
-        **_cp(interpret),
-    )(rec, rayo, rays, rayd, *S_k, *kwsp, *kbsp, *klns, wkT, bk2,
-      *S_q, *qwsp, *qbsp, *qlns, wqT, bq2)
+    with _fm._mxu_scope(mxu_reduce):
+        attn, raw, ss, qq = pl.pallas_call(
+            functools.partial(_ksrq_fwd_kernel, meta),
+            grid=(_round_up(T, tile) // tile, K),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((tile, K + 1), trow),
+                       pl.BlockSpec((tile, K), trow),
+                       pl.BlockSpec((tile, K), trow),
+                       pl.BlockSpec((tile, dm_pad), trow)],
+            out_shape=[jax.ShapeDtypeStruct((T, K + 1), jnp.float32),
+                       jax.ShapeDtypeStruct((T, K), jnp.float32),
+                       jax.ShapeDtypeStruct((T, K), jnp.float32),
+                       jax.ShapeDtypeStruct((T, dm_pad), jnp.float32)],
+            interpret=interpret,
+            **_cp(interpret, vmem_mb=vmem_mb),
+        )(rec, rayo, rays, rayd, *S_k, *kwsp, *kbsp, *klns, wkT, bk2,
+          *S_q, *qwsp, *qbsp, *qlns, wqT, bq2)
     return attn, (rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out, wk, bk,
                   qws, qbs, qln_in, qln_out, wq, bq, raw, ss, qq)
 
 
 def _ksrq_bwd(k_desc, q_desc, kact, klast, qact, qlast, score_act,
-              bkg_score, eps, tile, interpret, compute, res, dattn):
+              bkg_score, eps, tile, interpret, compute, mxu_reduce, vmem_mb,
+              res, dattn):
     (rec, rayo, rays, rayd, kws, kbs, kln_in, kln_out, wk, bk, qws, qbs,
      qln_in, qln_out, wq, bq, raw, ss, qq) = res
     K, T, rec_pad = rec.shape
@@ -1459,16 +1495,27 @@ def _ksrq_bwd(k_desc, q_desc, kact, klast, qact, qlast, score_act,
                   + [jax.ShapeDtypeStruct(l.shape, jnp.float32)
                      for l in qlns])
 
-    outs = pl.pallas_call(
-        functools.partial(_ksrq_bwd_kernel, meta),
-        grid=(_round_up(T, tile) // tile, K),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-        **_cp(interpret, floor_mb=20),
-    )(rec, rayo, rays, rayd, qq, raw, ss, dattn, *S_k, *kwsp, *kbsp,
-      *klns, wkT, bk2, *S_q, *qwsp, *qbsp, *qlns, wqT, bq2)
+    # Scoped-VMEM floor from the measured footprint (16.48 MB at ray tile
+    # 448, 18.1 MB at 512 → ~5.2 MB constant + ~25.3 KB/ray-row), +15%
+    # margin, never below the proven 20 MB at tile 512. Wider embedder
+    # stacks or pc_feat dims grow the constant part — raise tpu.vmem_mb.
+    floor = max(20, int((5.2 + 0.0254 * tile) * 1.15 + 1.0))
+    if floor > 100:
+        raise ValueError(
+            f"query-fold backward at tile={tile} needs an estimated "
+            f"{floor} MB scoped VMEM (> the 100 MB safety cap on v5e's "
+            "128 MB); reduce tpu.fused_tile or disable tpu.query_fold.")
+    with _fm._mxu_scope(mxu_reduce):
+        outs = pl.pallas_call(
+            functools.partial(_ksrq_bwd_kernel, meta),
+            grid=(_round_up(T, tile) // tile, K),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+            **_cp(interpret, floor_mb=floor, vmem_mb=vmem_mb),
+        )(rec, rayo, rays, rayd, qq, raw, ss, dattn, *S_k, *kwsp, *kbsp,
+          *klns, wkT, bk2, *S_q, *qwsp, *qbsp, *qlns, wqT, bq2)
 
     drec = outs[0].astype(rec.dtype)
     drayo = outs[1][:, :3].astype(rayo.dtype)
@@ -1617,11 +1664,12 @@ def _vsr_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, dfused_ref,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
 def value_stream_fuse_rec(rec, rayo, rays, attn, ws, bs, ln_in, ln_out,
                           enc_desc=None, act="relu", last_act="none",
                           normalize=True, eps=1e-6, tile=256,
-                          interpret=False, compute=None):
+                          interpret=False, compute=None, mxu_reduce=None,
+                          vmem_mb=0):
     """Rec-native streamed value fuse: geometry + posenc + value embedder +
     renormalize/fuse from the raw gathered point records, one dispatch.
 
@@ -1630,12 +1678,13 @@ def value_stream_fuse_rec(rec, rayo, rays, attn, ws, bs, ln_in, ln_out,
     """
     out, _ = _vsr_fwd(rec, rayo, rays, attn, ws, bs, ln_in, ln_out,
                       enc_desc, act, last_act, normalize, eps, tile,
-                      interpret, compute)
+                      interpret, compute, mxu_reduce, vmem_mb)
     return out
 
 
 def _vsr_fwd(rec, rayo, rays, attn, ws, bs, ln_in, ln_out, enc_desc, act,
-             last_act, normalize, eps, tile, interpret, compute):
+             last_act, normalize, eps, tile, interpret, compute,
+             mxu_reduce=None, vmem_mb=0):
     K, T, rec_pad = rec.shape
     tile = min(2 * tile, max(8, T))      # see _ksr_fwd
     (cdt, dims, pdims, S_mats, wsp, bsp, lns, vcfg) = _rec_prep(
@@ -1650,21 +1699,22 @@ def _vsr_fwd(rec, rayo, rays, attn, ws, bs, ln_in, ln_out, enc_desc, act,
                  pl.BlockSpec((tile, K + 1), trow)]
                 + _rec_param_specs(len(ws), pdims, S_mats, lns, const))
 
-    fused = pl.pallas_call(
-        functools.partial(_vsr_fwd_kernel, meta),
-        grid=(_round_up(T, tile) // tile, K),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, pdims[-1]), trow),
-        out_shape=jax.ShapeDtypeStruct((T, pdims[-1]), jnp.float32),
-        interpret=interpret,
-        **_cp(interpret),
-    )(rec, rayo, rays, attn, *S_mats, *wsp, *bsp, *lns)
+    with _fm._mxu_scope(mxu_reduce):
+        fused = pl.pallas_call(
+            functools.partial(_vsr_fwd_kernel, meta),
+            grid=(_round_up(T, tile) // tile, K),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tile, pdims[-1]), trow),
+            out_shape=jax.ShapeDtypeStruct((T, pdims[-1]), jnp.float32),
+            interpret=interpret,
+            **_cp(interpret, vmem_mb=vmem_mb),
+        )(rec, rayo, rays, attn, *S_mats, *wsp, *bsp, *lns)
     return fused[:, :dims[-1]], (rec, rayo, rays, attn, ws, bs, ln_in,
                                  ln_out)
 
 
 def _vsr_bwd(enc_desc, act, last_act, normalize, eps, tile, interpret,
-             compute, res, dfused):
+             compute, mxu_reduce, vmem_mb, res, dfused):
     rec, rayo, rays, attn, ws, bs, ln_in, ln_out = res
     K, T, rec_pad = rec.shape
     n = len(ws)
@@ -1701,15 +1751,16 @@ def _vsr_bwd(enc_desc, act, last_act, normalize, eps, tile, interpret,
                   + [jax.ShapeDtypeStruct(l.shape, jnp.float32)
                      for l in lns])
 
-    outs = pl.pallas_call(
-        functools.partial(_vsr_bwd_kernel, meta),
-        grid=(_round_up(T, tile) // tile, K),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-        **_cp(interpret),
-    )(rec, rayo, rays, attn, dfused, *S_mats, *wsp, *bsp, *lns)
+    with _fm._mxu_scope(mxu_reduce):
+        outs = pl.pallas_call(
+            functools.partial(_vsr_bwd_kernel, meta),
+            grid=(_round_up(T, tile) // tile, K),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+            **_cp(interpret, vmem_mb=vmem_mb),
+        )(rec, rayo, rays, attn, dfused, *S_mats, *wsp, *bsp, *lns)
 
     drec = outs[0].astype(rec.dtype)
     drayo = outs[1][:, :3].astype(rayo.dtype)

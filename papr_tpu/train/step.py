@@ -162,9 +162,13 @@ def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
     depth, featattn plots); plain renders return just foreground+rgb."""
     # The cfg object itself is kept in the cache value: a live reference
     # guarantees id(cfg) is never recycled for a different config, so a
-    # long-lived process can't hit a stale jitted closure.
+    # long-lived process can't hit a stale jitted closure. The cache is a
+    # bounded LRU — evicted entries drop their cfg pin, so many-config
+    # processes (tests) don't accumulate closures forever.
     key = (id(cfg), extras, run_unet, rgb8)
-    if key not in _cache:
+    if key in _cache:
+        _cache[key] = _cache.pop(key)               # refresh recency
+    else:
         mesh = _render_mesh(cfg)
 
         @jax.jit
@@ -174,7 +178,16 @@ def _full_render_fn(cfg, policy, extras: bool, run_unet: bool = True,
                                       run_unet, rgb8, mesh=mesh)
 
         _cache[key] = (cfg, fn)
+        _evict_lru(_cache)
     return _cache[key][1]
+
+
+_JIT_CACHE_CAP = 8
+
+
+def _evict_lru(cache: dict, cap: int = _JIT_CACHE_CAP) -> None:
+    while len(cache) > cap:
+        cache.pop(next(iter(cache)))
 
 
 def _tiled_render_body(params, state, cfg, policy, rayo, rayd_tiles,
@@ -246,27 +259,30 @@ def _frame_fn(cfg, policy, H: int, W: int, tile_h: int, tile_w: int,
     host->device, which matters on networked TPU setups where the per-frame
     rayd upload would otherwise rival the device time."""
     key = (id(cfg), H, W, tile_h, tile_w)
-    if key not in _cache:
-        ph = -(-H // tile_h) * tile_h - H
-        pw = -(-W // tile_w) * tile_w - W
-        Hp, Wp = H + ph, W + pw
-        ty, tx = Hp // tile_h, Wp // tile_w
-        mesh = _render_mesh(cfg)
+    if key in _cache:
+        _cache[key] = _cache.pop(key)               # refresh recency
+        return _cache[key][1]
+    ph = -(-H // tile_h) * tile_h - H
+    pw = -(-W // tile_w) * tile_w - W
+    Hp, Wp = H + ph, W + pw
+    ty, tx = Hp // tile_h, Wp // tile_w
+    mesh = _render_mesh(cfg)
 
-        @jax.jit
-        def fn(params, state, c2w, focal):
-            from ..ops.geometry import get_rays_jnp
-            rayo, rayd = get_rays_jnp(H, W, c2w, focal)     # (1,3),(H,W,3)
-            rayd = jnp.pad(rayd, ((0, ph), (0, pw), (0, 0)), mode="edge")
-            tiles = rayd.reshape(ty, tile_h, tx, tile_w, 3).transpose(
-                0, 2, 1, 3, 4)[None]                        # (1,ty,tx,th,tw,3)
-            rgb = _tiled_render_body(params, state, cfg, policy, rayo,
-                                     tiles, None, None, False, True, True,
-                                     mesh=mesh)[0]
-            return rgb[0, :H, :W]
+    @jax.jit
+    def fn(params, state, c2w, focal):
+        from ..ops.geometry import get_rays_jnp
+        rayo, rayd = get_rays_jnp(H, W, c2w, focal)         # (1,3),(H,W,3)
+        rayd = jnp.pad(rayd, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        tiles = rayd.reshape(ty, tile_h, tx, tile_w, 3).transpose(
+            0, 2, 1, 3, 4)[None]                            # (1,ty,tx,th,tw,3)
+        rgb = _tiled_render_body(params, state, cfg, policy, rayo,
+                                 tiles, None, None, False, True, True,
+                                 mesh=mesh)[0]
+        return rgb[0, :H, :W]
 
-        _cache[key] = (cfg, fn)
-    return _cache[key][1]
+    _cache[key] = (cfg, fn)
+    _evict_lru(_cache)
+    return fn
 
 
 def render_frame_async(params, state, cfg, c2w, focal_x: float,

@@ -292,33 +292,58 @@ def test_get_rays_jnp_matches_host_convention():
                                atol=1e-5)
 
 
-def test_mxu_reduce_config_knob(monkeypatch):
-    """tpu.mxu_reduce true/false overrides the env default at create_model;
-    "env" leaves it untouched."""
+def test_mxu_reduce_per_config_coexistence(monkeypatch):
+    """tpu.mxu_reduce is threaded per-call as a static kernel arg (VERDICT
+    r3 #8: no create_model-time global mutation): resolve_mxu_reduce maps
+    the config, traces with opposite flags coexist in one process (their
+    jaxprs differ — the MXU path reduces via dot_general — while outputs
+    agree), and the module default is restored after each trace."""
+    import numpy as np
+    import jax.numpy as jnp
     import papr_tpu.ops.fused_mlp as fm
     from papr_tpu.config import load_config
-    from papr_tpu.model.papr import create_model
+    from papr_tpu.ops.fused_mlp import fused_mlp, resolve_mxu_reduce
+
+    mk = lambda **tpu: load_config(overrides={"tpu": tpu} if tpu else {})
+    assert resolve_mxu_reduce(mk(mxu_reduce=True)) is True
+    assert resolve_mxu_reduce(mk(mxu_reduce=False)) is False
+    assert resolve_mxu_reduce(mk()) is None         # "env" -> process default
 
     monkeypatch.setattr(fm, "_MXU_REDUCE", False)
-    cfg = load_config(overrides={
-        "max_num_pts": 16, "geoms": {"points": {"init_num": 16,
-                                                "select_k": 2}},
-        "tpu": {"mxu_reduce": True}})
-    create_model(cfg, jax.random.PRNGKey(0))
-    assert fm._MXU_REDUCE is True
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((64, 48)).astype(np.float32))
+    ws = (jnp.asarray(rng.standard_normal((48, 32)).astype(np.float32)),)
+    bs = (jnp.zeros((32,), jnp.float32),)
+    ln = (jnp.ones((48,), jnp.float32), jnp.zeros((48,), jnp.float32))
 
-    cfg2 = load_config(overrides={
-        "max_num_pts": 16, "geoms": {"points": {"init_num": 16,
-                                                "select_k": 2}}})
-    create_model(cfg2, jax.random.PRNGKey(0))
-    assert fm._MXU_REDUCE is True  # "env" default leaves the flag alone
+    call = lambda flag: fused_mlp(x, ws, bs, ln, None, "relu", "none", True,
+                                  512, None, None, flag)
+    jaxprs, outs = {}, {}
+    for flag in (False, True):
+        jaxprs[flag] = str(jax.make_jaxpr(lambda: call(flag))())
+        outs[flag] = np.asarray(call(flag))
+        assert fm._MXU_REDUCE is False     # scope restored after each trace
+    np.testing.assert_allclose(outs[True], outs[False], rtol=5e-5, atol=5e-5)
+    # the MXU-reduce trace runs extra dot_generals for the LN reductions
+    assert (jaxprs[True].count("dot_general")
+            > jaxprs[False].count("dot_general"))
 
-    cfg3 = load_config(overrides={
-        "max_num_pts": 16, "geoms": {"points": {"init_num": 16,
-                                                "select_k": 2}},
-        "tpu": {"mxu_reduce": False}})
-    create_model(cfg3, jax.random.PRNGKey(0))
-    assert fm._MXU_REDUCE is False
+
+def test_vmem_budget_threading_and_validation():
+    """tpu.vmem_mb reaches _cp as a static arg; budgets past the 100 MB
+    safety cap raise instead of crashing the worker at runtime (ADVICE r3)."""
+    import pytest
+    from papr_tpu.ops.stream_attn import _cp, _validate_mb
+
+    assert _cp(True, 0, 64) == {}                    # interpret: no annotation
+    assert _cp(False, 0, 0) == {} or "compiler_params" in _cp(False, 0, 0)
+    got = _cp(False, 0, 37)
+    assert got["compiler_params"].vmem_limit_bytes == 37 << 20
+    assert _cp(False, 20, 8)["compiler_params"].vmem_limit_bytes == 20 << 20
+    with pytest.raises(ValueError, match="outside"):
+        _validate_mb(101, "tpu.vmem_mb")
+    with pytest.raises(ValueError, match="outside"):
+        _cp(False, 0, 128)
 
 
 def _tiny_cfg(fa=None, topk="cull", P=64, k=4):

@@ -83,8 +83,20 @@ def bench_render(hw=None):
     cfg = _flagship_cfg(patch=160, points=2048 if small else 30000,
                         k=8 if small else 20)
     params, state = create_model(cfg, jax.random.PRNGKey(0))
-    c2w = np.eye(4, dtype=np.float32)
-    c2w[:3, 3] = [0, 0, 35.0]
+
+    def orbit(theta, radius=35.0):
+        """Camera on a y-axis orbit looking inward — the serving loop's
+        actual pose sequence. Rotating poses (a) exercise cull-candidate
+        variance across frames and (b) defeat dispatch dedup on networked
+        TPU runtimes (identical dispatches can be cached -> fake speeds)."""
+        c, s = np.cos(theta), np.sin(theta)
+        rot = np.array([[c, 0, s, 0], [0, 1, 0, 0],
+                        [-s, 0, c, 0], [0, 0, 0, 1]], np.float32)
+        base = np.eye(4, dtype=np.float32)
+        base[:3, 3] = [0, 0, radius]
+        return rot @ base
+
+    c2w = orbit(0.0)
     rayo, rayd = get_rays_np(H, W, 700.0 * max(H, W) / 800,
                              700.0 * max(H, W) / 800, c2w[None])
 
@@ -102,15 +114,17 @@ def bench_render(hw=None):
     focal = 700.0 * max(H, W) / 800
 
     def frame8(n):
+        poses = [orbit(2 * np.pi * i / max(n, 1)) for i in range(n)]
         t0 = time.perf_counter()
-        for _ in range(n):
-            render_frame(params, state, cfg, c2w, focal, focal, H, W,
+        for p in poses:
+            render_frame(params, state, cfg, p, focal, focal, H, W,
                          th, tw)
         return (time.perf_counter() - t0) / n
 
     def frame8_pipe(n):
+        poses = [orbit(2 * np.pi * i / max(n, 1)) for i in range(n)]
         t0 = time.perf_counter()
-        for _ in render_frames(params, state, cfg, [c2w] * n, focal, focal,
+        for _ in render_frames(params, state, cfg, poses, focal, focal,
                                H, W, th, tw):
             pass
         return (time.perf_counter() - t0) / n

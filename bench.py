@@ -136,14 +136,30 @@ def bench_render(hw=None):
                               rgb_only=True)
         return (time.perf_counter() - t0) / n
 
+    def frame8_device(n):
+        # Device-serial: dispatch every frame async, sync once at the end.
+        # The frames execute back-to-back on the chip, so total/n is pure
+        # device time — the tunnel's ~145 ms/frame dispatch+fetch floor
+        # (measured with a trivial kernel, docs/status_round4.md) drops
+        # out. On a locally-attached TPU host, serial ≈ device + ~2 ms.
+        from papr_tpu.train.step import render_frame_async
+        poses = [orbit(2 * np.pi * i / n + 0.05) for i in range(n)]
+        t0 = time.perf_counter()
+        outs = [render_frame_async(params, state, cfg, p, focal, focal,
+                                   H, W, th, tw) for p in poses]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / n
+
     frame8(1)                           # compile
     serial = 1.0 / frame8(3)
+    fps_dev = 1.0 / frame8_device(4)
     fps_pipe = 1.0 / frame8_pipe(4)
     frame32(1)                          # compile fp32 variant
     fps32 = 1.0 / frame32(3)
     print(json.dumps({"metric": f"render_{H}x{W}_fps",
                       "value": round(fps_pipe, 3), "unit": "frames/s",
                       "serial_fps": round(serial, 3),
+                      "device_fps": round(fps_dev, 3),
                       "fp32_fetch_fps": round(fps32, 3)}))
 
 

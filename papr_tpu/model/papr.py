@@ -387,7 +387,8 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
         return _attend_kmaj(params, cfg, meta, idx, rays_o, rays_d,
                             alive, eps, policy, remat, use_embed_kernel,
                             use_score_kernel, use_stream,
-                            rec_native=(fa == "streamrec"))
+                            rec_native=(fa == "streamrec"),
+                            eval_mode=exact_select)
 
     # One wide gather instead of three narrow ones: TPU gathers of rows with
     # tiny trailing dims (3/1/64) hit a slow row-DMA path; a single gather of
@@ -491,7 +492,8 @@ def _point_record(params, alive, meta, pcf):
 def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                  eps: float, policy: Policy, remat: bool,
                  use_embed_kernel: bool, use_score_kernel: bool,
-                 use_stream: bool = False, rec_native: bool = False):
+                 use_stream: bool = False, rec_native: bool = False,
+                 eval_mode: bool = False):
     """Fused attention path in K-MAJOR token order.
 
     All (tokens, dim) tensors on this path are plain 2D with token order
@@ -563,6 +565,7 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
     # dispatches buy). Stays opt-in; default off.
     want_qfold = bool(cfg.get_path("tpu.query_fold", False))
     qfold = rec_native and q_extra is None and want_qfold
+    eval_one = False         # set on the stream path (attend_stream_eval)
     if want_qfold and not qfold:
         _warn_qfold_ignored(
             "rec-native streamrec preconditions do not hold "
@@ -598,7 +601,32 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
         cdt_name = jnp.dtype(policy.compute_dtype).name
         qq = None if qfold else linear_apply(
             params["attn"]["w_q"], eq, policy).astype(jnp.float32)
-        if qfold:
+        # Eval/render one-shot: key+value streams fused into ONE forward
+        # kernel (attend_stream_eval — record read, geometry and grid
+        # overhead once; online-softmax fusion). tpu.eval_fused: false
+        # restores the two-kernel eval path.
+        eval_one = (rec_native and eval_mode and not qfold
+                    and bool(cfg.get_path("tpu.eval_fused", True)))
+        if eval_one:
+            from ..ops.stream_attn import attend_stream_eval
+            vp = params["attn"]["embed_v"]
+            vws = tuple(l["w"].T for l in vp["mlp"]["layers"])
+            vbs = tuple(l["bias"] for l in vp["mlp"]["layers"])
+            vln_in, vln_out = _ff_lns(vp)
+            v_extra_dim = int(pcf.dim) if v_extra is not None else 0
+            fused_f, attn = attend_stream_eval(
+                rec, rayo_flat, rays, qq, kws, kbs, kln_in, kln_out,
+                params["attn"]["w_k"]["w"], params["attn"]["w_k"]["bias"],
+                vws, vbs, vln_in, vln_out,
+                (tuple(int(l) for l in e.k_L), int(e.embed_type),
+                 float(e.pe_factor), float(e.pe_mult_factor), k_extra_dim),
+                (tuple(int(l) for l in e.v_L), int(e.embed_type),
+                 float(e.pe_factor), float(e.pe_mult_factor), v_extra_dim),
+                e.key.ff_act, e.key.ff_last_act,
+                e.value.ff_act, e.value.ff_last_act, attn_cfg.score_act,
+                bkg_score, normalize, eps, tile, interp, cdt_name,
+                mxu, vmem)                                  # (T,C),(T,K+1)
+        elif qfold:
             # Query-folded rec kernel: the query walk (posenc -> embedder
             # -> w_q) runs in-kernel; the k==0 grid step computes qq into a
             # block-resident buffer and the last k step back-propagates it.
@@ -667,7 +695,9 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
             [scores, jnp.full((T, 1), bkg_score, jnp.float32)], axis=-1)
         attn = jax.nn.softmax(allsc, axis=-1)
 
-    if use_stream:
+    if use_stream and eval_one:
+        pass                 # fused_f came out of attend_stream_eval above
+    elif use_stream:
         # Value embedder + renormalize/fuse epilogue, streamed per k slice
         # (ops/stream_attn.py): value embeddings never materialize in HBM.
         v_extra_dim = int(pcf.dim) if v_extra is not None else 0

@@ -1783,3 +1783,154 @@ def _vsr_bwd(enc_desc, act, last_act, normalize, eps, tile, interpret,
 
 
 value_stream_fuse_rec.defvjp(_vsr_fwd, _vsr_bwd)
+
+
+# ------------------------------------------------- fused eval attention ----
+#
+# Forward-only (render/eval) fusion of the rec-native key AND value streams
+# into ONE kernel: per (ray-tile, k) grid step the gathered record block is
+# read once, the point-ray geometry computed once, and both embedder walks
+# run back to back; the softmax-weighted feature fusion accumulates online
+# (flash-attention style running max + rescale) so the value contribution
+# composes in the same step its embedding exists in VMEM. vs the two-kernel
+# eval path this removes: one full record DMA per (tile, k), one geometry +
+# posenc-source stage, the (T, K+1) attention HBM round trip between the
+# dispatches, and one kernel's grid/prologue overhead. No custom VJP — the
+# reference's tiled eval (test.py:76-87) never differentiates; training
+# keeps the two bwd-capable kernels.
+
+def _ase_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, *refs):
+    (kcfg, vcfg, K, dm, score_act, bkg, normalize, cdt, tile, T, eps) = meta
+    n, nv = kcfg[0], vcfg[0]
+    S_k = refs[:4]
+    i = 4
+    kw, kb = refs[i:i + n], refs[i + n:i + 2 * n]
+    nkln = 2 * (kcfg[10] + kcfg[11])
+    kln = refs[i + 2 * n:i + 2 * n + nkln]
+    i += 2 * n + nkln
+    wk_ref, bk_ref = refs[i], refs[i + 1]
+    i += 2
+    S_v = refs[i:i + 4]
+    i += 4
+    vw, vb = refs[i:i + nv], refs[i + nv:i + 2 * nv]
+    nvln = 2 * (vcfg[10] + vcfg[11])
+    vln = refs[i + 2 * nv:i + 2 * nv + nvln]
+    i += 2 * nv + nvln
+    fused_ref, attn_ref, ss_ref = refs[i], refs[i + 1], refs[i + 2]
+    m_ref = refs[i + 3]                        # VMEM scratch: running max
+    k = pl.program_id(1)
+
+    recb = rec_ref[0].astype(jnp.float32)
+    rayo = _mask3(rayo_ref[:].astype(jnp.float32))
+    rays = _mask3(rays_ref[:].astype(jnp.float32))
+    sel = _mask3(recb)
+    proj, perp, _ = _geom_fwd(sel, rayo, rays, eps)   # shared geometry
+
+    def encode(S):
+        xg = (jnp.dot(recb, S[0][:], preferred_element_type=jnp.float32)
+              + jnp.dot(proj, S[1][:], preferred_element_type=jnp.float32)
+              + jnp.dot(perp, S[2][:], preferred_element_type=jnp.float32))
+        return _pe_freq(xg, S[3][:])[0]
+
+    # Key branch: embed -> score column (identical math to _ksr_fwd_kernel).
+    y_k, _, _, _ = walk_body_fwd(kcfg, encode(S_k), kw, kb, kln)
+    kk = _linear(y_k.astype(cdt), wk_ref, bk_ref, cdt)
+    qq = _zero_lanes(qq_ref[:], dm).astype(jnp.float32)
+    col = _dot_col(qq, kk, dm) / math.sqrt(dm)
+    influ = _rec_lane(recb, _REC_INFLU)
+    alive = _rec_lane(recb, _REC_ALIVE) > 0.5
+    s_col = jnp.where(alive, _score_act_fwd(col, score_act) * influ, NEG_BIG)
+    ss = _col_update(jnp.where(k == 0, 0.0, ss_ref[:]), s_col, k)
+    ss_ref[:] = ss
+
+    # Value branch (same record/geometry, value S matrices + stack).
+    y_v, _, _, _ = walk_body_fwd(vcfg, encode(S_v), vw, vb, vln)
+    yc = y_v.astype(cdt).astype(jnp.float32)
+
+    # Online softmax-weighted accumulation. m starts at the (constant) bkg
+    # score so all-dead rows keep exp(NEG_BIG - m) == 0 exactly; rescaling
+    # by exp(m_old - m_new) makes the final accumulator equal
+    # sum_k exp(s_k - m_final) * yc_k, the two-pass value.
+    m_old = jnp.where(k == 0, jnp.float32(bkg), m_ref[:, :1])
+    m_new = jnp.maximum(m_old, s_col)
+    e = jnp.exp(s_col - m_new)
+    acc = jnp.where(k == 0, e * yc,
+                    fused_ref[:] * jnp.exp(m_old - m_new) + e * yc)
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(k < K - 1)
+    def _():
+        fused_ref[:] = acc.astype(fused_ref.dtype)
+
+    @pl.when(k == K - 1)
+    def _():
+        # m_new == max(max_k s_k, bkg): exact _softmax_s normalizer.
+        efg = jnp.exp(ss - m_new)
+        eb = jnp.exp(bkg - m_new)
+        z = jnp.sum(efg, axis=1, keepdims=True)
+        denom = z + eb
+        attn_ref[:] = (jnp.concatenate([efg, eb], axis=1) / denom).astype(
+            attn_ref.dtype)
+        d = jnp.where(z > 0, z, 1.0) if normalize else denom
+        fused_ref[:] = (acc / d).astype(fused_ref.dtype)
+
+
+def attend_stream_eval(rec, rayo, rays, qq, kws, kbs, kln_in, kln_out, wk,
+                       bk, vws, vbs, vln_in, vln_out, k_desc=None,
+                       v_desc=None, kact="relu", klast="none", vact="relu",
+                       vlast="none", score_act="relu", bkg_score=5.0,
+                       normalize=True, eps=1e-6, tile=256, interpret=False,
+                       compute=None, mxu_reduce=None, vmem_mb=0):
+    """Fused rec-native eval attention: ONE dispatch from gathered records
+    to (fused features, attention). Forward-only — raises under
+    differentiation (training uses key_stream_scores_rec +
+    value_stream_fuse_rec, which carry custom VJPs).
+
+    Args as key_stream_scores_rec + the value stack/descriptor of
+    value_stream_fuse_rec. Returns (fused (T, Cv) fp32, attn (T, K+1) fp32).
+    """
+    K, T, rec_pad = rec.shape
+    tile = min(2 * tile, max(8, T))            # forward-only: see _ksr_fwd
+    (cdt, kdims, kpdims, S_k, kwsp, kbsp, klns, kcfg) = _rec_prep(
+        rec, kws, kbs, kln_in, kln_out, k_desc, True, kact, klast, tile,
+        compute)
+    (_, vdims, vpdims, S_v, vwsp, vbsp, vlns, vcfg) = _rec_prep(
+        rec, vws, vbs, vln_in, vln_out, v_desc, False, vact, vlast, tile,
+        compute)
+    dm = wk.shape[0]
+    dm_pad = _round_up(dm, _LANE)
+    wkT = _pad2(wk.astype(cdt).T, kpdims[-1], dm_pad)
+    bk2 = _pad2(bk.astype(jnp.float32)[None, :], 1, dm_pad)
+    meta = (kcfg, vcfg, K, dm, score_act, float(bkg_score), bool(normalize),
+            cdt, tile, T, float(eps))
+    const = lambda t, k: (0, 0)
+    trow = lambda t, k: (t, 0)
+    in_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, rec_pad), trow),
+                 pl.BlockSpec((tile, dm_pad), trow)]
+                + _rec_param_specs(len(kws), kpdims, S_k, klns, const)
+                + [pl.BlockSpec((kpdims[-1], dm_pad), const),
+                   pl.BlockSpec((1, dm_pad), const)]
+                + _rec_param_specs(len(vws), vpdims, S_v, vlns, const))
+    # Both walks resident per step: the measured key-fwd footprint alone is
+    # ~11 MB at tile 1024 (22.6 at 2048); floor the combined kernel by tile
+    # so the default 16 MB budget never faults it.
+    floor = max(0, int((2.0 + 0.0146 * tile) * 1.3))
+    with _fm._mxu_scope(mxu_reduce):
+        fused, attn, _ = pl.pallas_call(
+            functools.partial(_ase_fwd_kernel, meta),
+            grid=(_round_up(T, tile) // tile, K),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((tile, vpdims[-1]), trow),
+                       pl.BlockSpec((tile, K + 1), trow),
+                       pl.BlockSpec((tile, K), trow)],
+            out_shape=[jax.ShapeDtypeStruct((T, vpdims[-1]), jnp.float32),
+                       jax.ShapeDtypeStruct((T, K + 1), jnp.float32),
+                       jax.ShapeDtypeStruct((T, K), jnp.float32)],
+            scratch_shapes=[_pltpu.VMEM((tile, _LANE), jnp.float32)],
+            interpret=interpret,
+            **_cp(interpret, floor_mb=floor, vmem_mb=vmem_mb),
+        )(rec, rayo, rays, qq, *S_k, *kwsp, *kbsp, *klns, wkT, bk2,
+          *S_v, *vwsp, *vbsp, *vlns)
+    return fused[:, :vdims[-1]], attn

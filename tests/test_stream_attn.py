@@ -646,3 +646,46 @@ def test_query_fold_train_step_gradients_model_level():
                     jax.tree.leaves(results["off"][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.parametrize("normalize", [True, False])
+def test_attend_stream_eval_matches_two_kernel_path(normalize):
+    """The fused eval kernel (attend_stream_eval: one dispatch, shared
+    geometry, online-softmax fusion) must match the two-kernel eval path
+    (key_stream_scores_rec + value_stream_fuse_rec) through the real
+    ``evaluate`` surface, for both renormalize settings and with per-point
+    value features active (default use_inv)."""
+    from test_round2_fixes import _rays, tiny_cfg
+    from papr_tpu.model.papr import create_model, evaluate
+
+    kern = {"fused_attn": "streamrec"}
+    cfg_one = tiny_cfg(models={"normalize_topk_attn": normalize},
+                       tpu={**kern, "eval_fused": True})
+    cfg_two = tiny_cfg(models={"normalize_topk_attn": normalize},
+                       tpu={**kern, "eval_fused": False})
+    params, state = create_model(cfg_one, jax.random.PRNGKey(0))
+    rayo, rayd, _ = _rays(H=9, W=11)        # odd shape: row-overhang masks
+
+    one = evaluate(params, state, cfg_one, rayo, rayd, with_selected=True)
+    two = evaluate(params, state, cfg_two, rayo, rayd, with_selected=True)
+    for a, b, name in zip(one, two, ("fused", "attn", "selected")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6, err_msg=name)
+
+
+def test_attend_stream_eval_forward_only_not_in_train_path():
+    """eval_mode gating: the one-shot kernel serves only exact_select
+    (eval/render) traces — the differentiable forward() keeps the two
+    bwd-capable kernels, so a train step on the same config still works."""
+    from test_round2_fixes import _rays, tiny_cfg
+    from papr_tpu.model.papr import create_model
+    from papr_tpu.train.step import make_opt_state, make_train_step
+
+    cfg = tiny_cfg(tpu={"fused_attn": "streamrec", "eval_fused": True})
+    params, state = create_model(cfg, jax.random.PRNGKey(0))
+    rayo, rayd, c2w = _rays(H=8, W=8)
+    target = np.random.default_rng(0).random((1, 8, 8, 3), np.float32)
+    opt = make_opt_state(cfg, params)
+    step_fn, _ = make_train_step(cfg, donate=False)
+    _, _, loss, _ = step_fn(params, opt, state, rayo, rayd, target, c2w, 0)
+    assert np.isfinite(float(loss))

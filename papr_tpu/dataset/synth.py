@@ -63,9 +63,18 @@ def render_sphere(c2w: np.ndarray, H: int, W: int, focal: float,
 
 
 def make_demo_scene(out_dir: str, n_train: int = 6, n_test: int = 2,
-                    H: int = 64, W: int = 64, seed: int = 0) -> str:
-    """Write a mini Blender-format scene; returns ``out_dir``."""
+                    H: int = 64, W: int = 64, seed: int = 0,
+                    exposure_jitter: float = 0.0) -> str:
+    """Write a mini Blender-format scene; returns ``out_dir``.
+
+    ``exposure_jitter > 0`` multiplies each TRAIN image's RGB by a random
+    per-image gain exp(U(-j, j)) (test/val stay neutral) — the per-image
+    photometric inconsistency the cIMLE exposure-control stage exists to
+    absorb (reference exposure_control_finetune.py)."""
     rng = np.random.default_rng(seed)
+    # Separate stream for exposure gains: cameras stay identical to the
+    # neutral (exposure_jitter=0) generation of the same seed.
+    g_rng = np.random.default_rng(seed + 7919)
     camera_angle_x = 0.8
     focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
     os.makedirs(out_dir, exist_ok=True)
@@ -79,6 +88,10 @@ def make_demo_scene(out_dir: str, n_train: int = 6, n_test: int = 2,
                            np.float32)
             c2w = _look_at(eye)
             rgba = render_sphere(c2w, H, W, focal)
+            if exposure_jitter and split == "train":
+                g = float(np.exp(g_rng.uniform(-exposure_jitter,
+                                               exposure_jitter)))
+                rgba[..., :3] = np.clip(rgba[..., :3] * g, 0.0, 1.0)
             rel = f"./{split}/r_{k}"
             Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(
                 os.path.join(out_dir, f"{rel}.png"))
@@ -131,8 +144,16 @@ if __name__ == "__main__":
     ap.add_argument("--n_train", type=int, default=6)
     ap.add_argument("--n_test", type=int, default=2)
     ap.add_argument("--format", choices=["synthetic", "t2"], default="synthetic")
+    ap.add_argument("--exposure_jitter", type=float, default=0.0,
+                    help="per-train-image exposure gain exp(U(-j, j)) "
+                         "(synthetic format only)")
     args = ap.parse_args()
     H = args.height or args.size
     W = args.width or args.size
-    fn = make_demo_scene if args.format == "synthetic" else make_demo_scene_t2
-    print(fn(args.out, n_train=args.n_train, n_test=args.n_test, H=H, W=W))
+    if args.format == "t2":
+        print(make_demo_scene_t2(args.out, n_train=args.n_train,
+                                 n_test=args.n_test, H=H, W=W))
+    else:
+        print(make_demo_scene(args.out, n_train=args.n_train,
+                              n_test=args.n_test, H=H, W=W,
+                              exposure_jitter=args.exposure_jitter))

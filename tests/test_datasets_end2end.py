@@ -101,3 +101,33 @@ def test_offline_patch_mode(blender_scene):
     idx, pidx, img, rayd, rayo = ds[5]
     assert (idx, pidx) == (2, 1)
     assert img.shape == (16, 16, 3)
+
+
+def test_synth_exposure_jitter(tmp_path):
+    """exposure_jitter scales TRAIN images by per-image gains (the cIMLE
+    exposure stage's target inconsistency); test/val stay neutral."""
+    import numpy as np
+    from PIL import Image
+
+    from papr_tpu.dataset.synth import make_demo_scene
+
+    neutral = make_demo_scene(str(tmp_path / "a"), n_train=4, n_test=2,
+                              H=32, W=32, seed=7)
+    jittered = make_demo_scene(str(tmp_path / "b"), n_train=4, n_test=2,
+                               H=32, W=32, seed=7, exposure_jitter=0.5)
+
+    def rgb(root, split, k):
+        return np.asarray(Image.open(f"{root}/{split}/r_{k}.png"),
+                          np.float32)[..., :3]
+
+    gains = []
+    for k in range(4):
+        a, b = rgb(neutral, "train", k), rgb(jittered, "train", k)
+        m = a > 8  # foreground, away from the clip floor
+        gains.append(np.median(b[m] / np.maximum(a[m], 1.0)))
+    assert max(gains) > 1.05 or min(gains) < 0.95   # real variation
+    assert np.std(gains) > 0.02                     # per-image, not global
+    for split, n in (("test", 2), ("val", 1)):
+        for k in range(n):
+            np.testing.assert_array_equal(rgb(neutral, split, k),
+                                          rgb(jittered, split, k))

@@ -80,8 +80,13 @@ def bench_render(hw=None):
     if hw and small:
         hw = (hw[0] // 4, hw[1] // 4)   # keep the t2 aspect, CI-runnable
     H, W = hw if hw else (side, side)
+    # PAPR_CULL_CAND_EVAL pins tpu.cull_candidates_eval for A/B runs (since
+    # round 4 the cap genuinely narrows the cull kernel's extract loop).
+    ce = _os.environ.get("PAPR_CULL_CAND_EVAL")
     cfg = _flagship_cfg(patch=160, points=2048 if small else 30000,
-                        k=8 if small else 20)
+                        k=8 if small else 20,
+                        tpu_extra={"cull_candidates_eval": int(ce)} if ce
+                        else None)
     params, state = create_model(cfg, jax.random.PRNGKey(0))
 
     def orbit(theta, radius=35.0):
@@ -277,6 +282,8 @@ def main():
             out["render_800x800_fps"] = render["value"]
             if "serial_fps" in render:
                 out["render_800x800_fps_serial"] = render["serial_fps"]
+            if "device_fps" in render:
+                out["render_800x800_fps_device"] = render["device_fps"]
             if "fp32_fetch_fps" in render:
                 out["render_800x800_fps_fp32_fetch"] = render["fp32_fetch_fps"]
     print(json.dumps(out))

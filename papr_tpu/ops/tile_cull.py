@@ -59,15 +59,21 @@ RAY_TILE = 256
 CAND_CHUNK = 2048
 
 
-def _chunk_for(tr: int) -> int:
-    """Candidate-chunk size for a given ray-tile size.
+def _chunk_for(tr: int, m: int = CAND_CHUNK) -> int:
+    """Candidate-chunk size for a given ray-tile size and candidate cap M.
 
     The kernel's working set is the (TR, chunk) packed-distance scratch;
-    keep it at the tuned 256x2048 footprint (2 MB int32) so bigger eval
+    cap it at the tuned 256x2048 footprint (2 MB int32) so bigger eval
     tiles (block=32 -> TR=1024) don't overflow the 16 MB VMEM scope.
+    The chunk also never exceeds M (rounded up to lane alignment): the
+    min-extract loop's VPU cost scales with the chunk WIDTH, so an M
+    below the VMEM cap must narrow the loop rather than pad back up to
+    2048 (pre-round-4 the floor ate the entire tpu.cull_candidates_eval
+    saving: M=1024 ran the same 2048-wide loop, docs/status_round4.md).
     Floor 512 keeps the chunk lane-aligned and the fori_loop short.
     """
-    return max(512, (RAY_TILE * CAND_CHUNK) // tr)
+    m_aligned = max(512, -(-m // 512) * 512)
+    return max(512, min((RAY_TILE * CAND_CHUNK) // tr, m_aligned))
 
 
 def tile_rays(rays_d: jnp.ndarray, block: int = 16):
@@ -166,7 +172,7 @@ def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
                        recall_target: float = 0.99) -> jnp.ndarray:
     """points (P,3), alive (P,), rays_o (3,), rays_d_hw (H,W,3) ->
     (H*W, k) int32 global indices (row-major ray order)."""
-    chunk = _chunk_for(block * block)
+    chunk = _chunk_for(block * block, M)
     Mp = max(-(-M // chunk) * chunk, chunk)
     # The kernel packs GLOBAL point indices into the IDX_MASK low bits
     # (15 bits); a larger cloud would silently select index-mod-32768.

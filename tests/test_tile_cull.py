@@ -50,11 +50,15 @@ def test_culled_matches_exact_selection():
 
 
 def test_culled_nonaligned_image():
+    # M=1024 (not 512): since round 4 the candidate cap is HONORED below
+    # the old 2048 chunk floor, and 512 of 2048 points is too tight a cap
+    # for this scene's cone spread (the pre-round-4 code silently ran all
+    # 2048 candidates regardless of M, see _chunk_for).
     pts, alive, rayo, rayd = _camera_scene(P=2048, H=23, W=37, seed=2)
     k = 6
     got = np.asarray(select_topk_culled(
         jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
-        jnp.asarray(rayd), k, M=512, block=16, interpret=True))
+        jnp.asarray(rayd), k, M=1024, block=16, interpret=True))
     assert got.shape == (23 * 37, k)
     want = np.asarray(select_topk(
         jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
@@ -136,3 +140,45 @@ def test_culled_approx_prefilter_matches_exact_selection():
     overlap = np.mean([len(set(got[i]) & set(want[i])) / k
                        for i in range(got.shape[0])])
     assert overlap > 0.99, overlap
+
+
+def test_cull_chunk_narrows_with_candidate_cap():
+    """Round-4 regression: M below the VMEM-tuned 2048 must narrow the
+    extract loop (the old floor padded M=1024 back up to a 2048-wide loop,
+    silently running an uncapped selection and eating the entire speedup;
+    docs/status_round4.md A/B table)."""
+    from papr_tpu.ops.tile_cull import _chunk_for
+    assert _chunk_for(256, 1024) == 1024     # cap narrows the chunk
+    assert _chunk_for(256, 512) == 512
+    assert _chunk_for(256, 100) == 512       # lane-alignment floor
+    assert _chunk_for(256, 4096) == 2048     # VMEM cap still binds
+    assert _chunk_for(1024, 4096) == 512     # big eval tiles keep 2 MB scratch
+    assert _chunk_for(256, 1500) == 1536     # 512-aligned round-up
+
+
+def test_cull_candidate_cap_is_honored():
+    """A tight M must actually change the selection (pre-round-4 any
+    M < 2048 silently ran take=2048 candidates, so the cap was a no-op)."""
+    pts, alive, rayo, rayd = _camera_scene(P=2048, H=23, W=37, seed=2)
+    k = 6
+    kw = dict(block=16, interpret=True)
+    tight = np.asarray(select_topk_culled(
+        jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
+        jnp.asarray(rayd), k, M=512, **kw))
+    full = np.asarray(select_topk_culled(
+        jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
+        jnp.asarray(rayd), k, M=2048, **kw))
+    want = np.asarray(select_topk(
+        jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
+        jnp.asarray(rayd).reshape(-1, 3), k, chunk=256))
+
+    def overlap(a):
+        return np.mean([len(set(a[i]) & set(want[i])) / k
+                        for i in range(a.shape[0])])
+
+    ov_tight, ov_full = overlap(tight), overlap(full)
+    # The uncapped run is exact-ish; the capped one must differ (cap applied)
+    # yet stay a sound lower-bound truncation (winners it keeps are real).
+    assert ov_full > 0.999, ov_full
+    assert ov_tight < ov_full, (ov_tight, ov_full)
+    assert ov_tight > 0.75, ov_tight   # 0.817 measured: truncation, not junk

@@ -37,7 +37,11 @@ Pipeline:
   2. (XLA) gather candidate records (v, |v|^2) -> (T, M, 8).
   3. (Pallas) per tile: exact distances to the tile's own rays over M
      candidates, pack-min-extract top-k (same loop as pallas_topk, ~P/M
-     times less work).
+     times less work). With a sorted prefilter the candidates arrive in
+     ascending-LB order, so the kernel processes them in 512-wide chunks
+     and EXITS once every ray's k-th best distance provably beats all
+     remaining lower bounds — identical output, and on coherent scenes
+     most tiles settle within the first chunk (see _cull_kernel).
   4. (XLA) map tile-local winners back to global point indices.
 
 Replaces the same reference behavior (models/model.py:258-283); selection
@@ -104,25 +108,39 @@ def untile_indices(idx_tiles: jnp.ndarray, meta) -> jnp.ndarray:
 
 
 def _cull_kernel(rays_ref, f_ref, recs_ref, out_ref, best_scr, work_scr,
-                 tmp_scr, *, k: int, n_chunks: int, chunk: int):
+                 tmp_scr, done_scr, *, k: int, n_chunks: int, chunk: int,
+                 early_exit: bool):
     """Per-tile exact top-k over the tile's candidate set.
 
     rays_ref (TR,3), f_ref (TR,1), recs_ref (8, M): rows 0..2 = v^T,
     row 3 = |v|^2 (+inf for dead/invalid), row 4 = GLOBAL point index as
-    f32. Output (TR, KPAD) global indices — packing the global index (fits
-    the 15 IDX_BITS, P <= 32768) instead of the candidate slot makes the
-    local->global remap free; the XLA scalar-gather it replaces cost 148 ms
-    per 800x800 frame on v5e (one-element rows hit the slow row-DMA path).
+    f32, row 5 = the candidate's packed distance LOWER BOUND (VAL_MASK
+    bits; +inf for pad slots) when ``early_exit``. Output (TR, KPAD)
+    global indices — packing the global index (fits the 15 IDX_BITS,
+    P <= 32768) instead of the candidate slot makes the local->global
+    remap free; the XLA scalar-gather it replaces cost 148 ms per 800x800
+    frame on v5e (one-element rows hit the slow row-DMA path).
+
+    ``early_exit`` (sound, requires candidates sorted by ascending LB —
+    the packsort/sort prefilters): after chunk c, if EVERY ray's k-th
+    best packed distance is strictly below the packed LB of the first
+    candidate of chunk c+1, then for any unseen candidate u,
+    q(dist_u) >= q(LB_u) >= q(LB_next) > q(kth) (bit-truncation q is
+    monotone on non-negative floats), so u cannot displace any winner
+    and the remaining chunks are skipped. Strict `<` keeps quantized
+    ties processed, so the result is IDENTICAL to the unexited loop.
     """
     TR = rays_ref.shape[1]
     best_scr[:] = jnp.full((TR, KPAD), MAXI, jnp.int32)
+    if early_exit:
+        done_scr[0] = 0
     d0 = rays_ref[0, :, 0:1]
     d1 = rays_ref[0, :, 1:2]
     d2 = rays_ref[0, :, 2:3]
     f = f_ref[0]
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (TR, KPAD), 1)
 
-    def chunk_body(c, _):
+    def chunk_work(c):
         base = c * chunk
         v0 = recs_ref[0, 0:1, pl.ds(base, chunk)]
         v1 = recs_ref[0, 1:2, pl.ds(base, chunk)]
@@ -155,7 +173,28 @@ def _cull_kernel(rays_ref, f_ref, recs_ref, out_ref, best_scr, work_scr,
         nb0 = jnp.full((TR, KPAD), MAXI, jnp.int32)
         _, newbest = jax.lax.fori_loop(0, k, merge_body, (cat0, nb0))
         best_scr[:] = newbest
-        return 0
+
+    if early_exit:
+        def chunk_body(c, _):
+            @pl.when(done_scr[0] == 0)
+            def _():
+                chunk_work(c)
+                if n_chunks > 1:
+                    # worst settled rank: rays with fewer than k finite
+                    # candidates hold MAXI there, which never exits.
+                    kth = jnp.max(jnp.where(lane128 < k, best_scr[:],
+                                            jnp.int32(0)))
+                    nxt = ((c + 1) * chunk) % (n_chunks * chunk)
+                    lbv = recs_ref[0, 5:6, pl.ds(nxt, 1)]       # (1,1) f32
+                    lb_next = (pltpu.bitcast(lbv, jnp.int32) &
+                               jnp.int32(VAL_MASK))[0, 0]
+                    settled = jnp.logical_and(c + 1 < n_chunks, kth < lb_next)
+                    done_scr[0] = settled.astype(jnp.int32)
+            return 0
+    else:
+        def chunk_body(c, _):
+            chunk_work(c)
+            return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
     out_ref[0] = best_scr[:] & jnp.int32(IDX_MASK)
@@ -163,17 +202,26 @@ def _cull_kernel(rays_ref, f_ref, recs_ref, out_ref, best_scr, work_scr,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "M", "block", "interpret",
-                                    "prefilter", "recall_target"))
+                                    "prefilter", "recall_target",
+                                    "early_exit"))
 def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
                        rays_o: jnp.ndarray, rays_d_hw: jnp.ndarray, k: int,
                        M: int = 2048, block: int = 16, eps: float = 1e-6,
                        interpret: bool = False,
                        prefilter: str = "sort",
-                       recall_target: float = 0.99) -> jnp.ndarray:
+                       recall_target: float = 0.99,
+                       early_exit: bool = True) -> jnp.ndarray:
     """points (P,3), alive (P,), rays_o (3,), rays_d_hw (H,W,3) ->
     (H*W, k) int32 global indices (row-major ray order)."""
     chunk = _chunk_for(block * block, M)
+    # Sorted prefilters enable the kernel's sound early exit; narrow the
+    # chunks so the exit has granularity to skip work (a single 2048-wide
+    # chunk can never exit). 512 keeps the per-chunk loop efficient.
+    early_exit = early_exit and prefilter in ("packsort", "sort")
+    if early_exit:
+        chunk = min(chunk, 512)
     Mp = max(-(-M // chunk) * chunk, chunk)
+    early_exit = early_exit and Mp // chunk > 1
     # The kernel packs GLOBAL point indices into the IDX_MASK low bits
     # (15 bits); a larger cloud would silently select index-mod-32768.
     if points.shape[0] > IDX_MASK + 1:
@@ -255,6 +303,19 @@ def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
     # the kernel packs it into the min-extract payload so its output needs
     # no local->global remap.
     recs = recs.at[:, 4, :].set(cand_idx.astype(jnp.float32))
+    if early_exit:
+        # Row 5: each candidate's SQUARED LB (ascending — the sorted
+        # prefilter's order), read by the kernel's early-exit check at
+        # chunk edges. Squared because the kernel ranks by squared
+        # distance (vv - t^2 f); the eps-fudged f is < 1/|d|^2 so the
+        # kernel distance strictly upper-bounds the exact squared
+        # distance, which is >= LB^2 — the bound stays sound.
+        lb_cand = jnp.take_along_axis(LB, cand_idx, axis=1)
+        lb_cand = lb_cand * lb_cand
+        if take < Mp:
+            lane5 = jnp.arange(Mp)[None, :]
+            lb_cand = jnp.where(lane5 >= take, jnp.inf, lb_cand)
+        recs = recs.at[:, 5, :].set(lb_cand)
     if take < Mp:
         # pad slots alias index 0: kill their distance so the exact top-k
         # in stage 3 can never select a duplicate
@@ -269,7 +330,7 @@ def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
     f = ((dd + 2 * eps) / (dd + eps) ** 2).reshape(T, TR, 1)
 
     kernel = functools.partial(_cull_kernel, k=k, n_chunks=Mp // chunk,
-                               chunk=chunk)
+                               chunk=chunk, early_exit=early_exit)
     winners = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -286,7 +347,8 @@ def select_topk_culled(points: jnp.ndarray, alive: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((T, TR, KPAD), jnp.int32),
         scratch_shapes=[pltpu.VMEM((TR, KPAD), jnp.int32),
                         pltpu.VMEM((TR, chunk), jnp.int32),
-                        pltpu.VMEM((TR, KPAD), jnp.int32)],
+                        pltpu.VMEM((TR, KPAD), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
     )(tiles.reshape(T, TR, 3), f, recs)
 

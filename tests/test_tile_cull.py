@@ -182,3 +182,24 @@ def test_cull_candidate_cap_is_honored():
     assert ov_full > 0.999, ov_full
     assert ov_tight < ov_full, (ov_tight, ov_full)
     assert ov_tight > 0.75, ov_tight   # 0.817 measured: truncation, not junk
+
+
+def test_cull_early_exit_is_exact():
+    """The sorted-prefilter early exit must be output-IDENTICAL to the full
+    loop (it only skips chunks whose lower bounds prove they cannot alter
+    the result; the round-4 LB^2 fix is covered by the squared-distance
+    comparison these scenes exercise)."""
+    for P, H, W, k, M, pf in [(3000, 32, 32, 8, 2048, "sort"),
+                              (3000, 32, 32, 8, 2048, "packsort"),
+                              (3000, 32, 32, 8, 4096, "sort"),
+                              (600, 16, 16, 8, 2048, "sort")]:
+        pts, alive, rayo, rayd = _camera_scene(P=P, H=H, W=W, dead=(50, 150))
+        args = (jnp.asarray(pts), jnp.asarray(alive), jnp.asarray(rayo),
+                jnp.asarray(rayd), k)
+        a = np.asarray(select_topk_culled(
+            *args, M=M, block=16, interpret=True, prefilter=pf,
+            early_exit=True))
+        b = np.asarray(select_topk_culled(
+            *args, M=M, block=16, interpret=True, prefilter=pf,
+            early_exit=False))
+        np.testing.assert_array_equal(a, b, err_msg=f"{P},{k},{M},{pf}")

@@ -81,12 +81,16 @@ def bench_render(hw=None):
         hw = (hw[0] // 4, hw[1] // 4)   # keep the t2 aspect, CI-runnable
     H, W = hw if hw else (side, side)
     # PAPR_CULL_CAND_EVAL pins tpu.cull_candidates_eval for A/B runs (since
-    # round 4 the cap genuinely narrows the cull kernel's extract loop).
-    ce = _os.environ.get("PAPR_CULL_CAND_EVAL")
+    # round 4 the cap genuinely narrows the cull kernel's extract loop);
+    # PAPR_CULL_EARLY_EXIT=0 forces the full extract loop.
+    extra = {}
+    if _os.environ.get("PAPR_CULL_CAND_EVAL"):
+        extra["cull_candidates_eval"] = int(_os.environ["PAPR_CULL_CAND_EVAL"])
+    if _os.environ.get("PAPR_CULL_EARLY_EXIT"):
+        extra["cull_early_exit"] = (
+            _os.environ["PAPR_CULL_EARLY_EXIT"] != "0")
     cfg = _flagship_cfg(patch=160, points=2048 if small else 30000,
-                        k=8 if small else 20,
-                        tpu_extra={"cull_candidates_eval": int(ce)} if ce
-                        else None)
+                        k=8 if small else 20, tpu_extra=extra or None)
     params, state = create_model(cfg, jax.random.PRNGKey(0))
 
     def orbit(theta, radius=35.0):

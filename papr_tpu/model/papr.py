@@ -328,9 +328,11 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
                 M = int(me) if me != "auto" else \
                     M * max((eblk * eblk) // (blk * blk), 1)
                 blk = eblk
+            ee = bool(cfg.get_path("tpu.cull_early_exit", True))
             sel = lambda o, d: select_topk_culled(
                 points, alive, o, d.reshape(H, W, 3), k, M=M, block=blk,
-                eps=eps, interpret=interp, prefilter=pf, recall_target=rc)
+                eps=eps, interpret=interp, prefilter=pf, recall_target=rc,
+                early_exit=ee)
         elif impl == "pallas":
             from ..ops.pallas_topk import pallas_select_topk
             sel = lambda o, d: pallas_select_topk(points, alive, o, d, k, eps,

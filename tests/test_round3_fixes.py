@@ -68,22 +68,36 @@ def test_eval_selection_is_exact_under_approx_prefilter():
 
 
 def test_cull_recall_knob_reaches_kernel():
-    """tpu.cull_recall is plumbed: an extreme recall target changes the
-    candidate set on the stress scene (i.e. the knob is not dead)."""
+    """tpu.cull_recall is plumbed: at a GENEROUS candidate cap (M covers the
+    whole cloud, so the cap itself is lossless and the prefilter is the only
+    approximation) approx_min_k at high recall matches the exact sort.
+    Pre-round-4 this test used M=256, which the cull kernel silently padded
+    back to a 2048-wide candidate set; once the cap was honored
+    (docs/status_round4.md cull-cap fix) the M truncation dominated the
+    comparison, which is the cap's documented behavior, not the knob's."""
     pts, rayo, rayd = _wide_fov_scene()
     alive = jnp.ones(pts.shape[0], bool)
+    M = pts.shape[0]  # lossless cap: isolates the prefilter approximation
     a = np.asarray(select_topk_culled(
         jnp.asarray(pts), alive, jnp.asarray(rayo), jnp.asarray(rayd), 8,
-        M=256, block=16, interpret=True, prefilter="approx",
+        M=M, block=16, interpret=True, prefilter="approx",
         recall_target=0.99))
     b = np.asarray(select_topk_culled(
         jnp.asarray(pts), alive, jnp.asarray(rayo), jnp.asarray(rayd), 8,
-        M=256, block=16, interpret=True, prefilter="sort"))
-    # sanity only: both are valid selections of the same scene
+        M=M, block=16, interpret=True, prefilter="sort"))
     assert a.shape == b.shape
     overlap = np.mean([len(set(a[i]) & set(b[i])) / 8
                        for i in range(a.shape[0])])
     assert overlap > 0.9, overlap
+    # and the knob itself is live: a floor recall target degrades overlap
+    # vs the exact sort more than the high-recall setting does (not dead).
+    c = np.asarray(select_topk_culled(
+        jnp.asarray(pts), alive, jnp.asarray(rayo), jnp.asarray(rayd), 8,
+        M=M, block=16, interpret=True, prefilter="approx",
+        recall_target=0.5))
+    overlap_lo = np.mean([len(set(c[i]) & set(b[i])) / 8
+                          for i in range(c.shape[0])])
+    assert not np.array_equal(c, a) or overlap_lo <= overlap
 
 
 def test_render_frame_matches_host_ray_render():

@@ -89,6 +89,9 @@ def bench_render(hw=None):
     if _os.environ.get("PAPR_CULL_EARLY_EXIT"):
         extra["cull_early_exit"] = (
             _os.environ["PAPR_CULL_EARLY_EXIT"] != "0")
+    # PAPR_INT8_EVAL=1 quantizes the eval walks to int8 (tpu.int8_eval)
+    if _os.environ.get("PAPR_INT8_EVAL"):
+        extra["int8_eval"] = _os.environ["PAPR_INT8_EVAL"] != "0"
     cfg = _flagship_cfg(patch=160, points=2048 if small else 30000,
                         k=8 if small else 20, tpu_extra=extra or None)
     params, state = create_model(cfg, jax.random.PRNGKey(0))

@@ -69,6 +69,20 @@ def _warn_qfold_ignored(why: str) -> None:
             "and no per-point query features (point_feats.use_inq).")
 
 
+def _warn_int8_ignored(why: str) -> None:
+    """One-time warning when ``tpu.int8_eval: true`` cannot take effect
+    (int8 walks exist only in the fused one-shot eval kernel)."""
+    key = f"int8:{why}"
+    if key not in _warned_multi:
+        _warned_multi.add(key)
+        import warnings
+        warnings.warn(
+            f"tpu.int8_eval: true ignored — {why}; eval walks stay "
+            "bf16/fp32. Int8 eval needs tpu.fused_attn: streamrec with "
+            "tpu.eval_fused: true (the one-shot eval kernel) on an "
+            "eval/render trace.")
+
+
 # -------------------------------------------------------------- point init --
 
 def sphere_points(center, num_pts: int, scale) -> np.ndarray:
@@ -609,6 +623,15 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
         # restores the two-kernel eval path.
         eval_one = (rec_native and eval_mode and not qfold
                     and bool(cfg.get_path("tpu.eval_fused", True)))
+        # tpu.int8_eval: quantize the eval walks to int8 (2x MXU rate on
+        # v5e; self-calibrating, forward-only). Lives in the one-shot
+        # kernel only — training numerics are never touched.
+        want_int8 = bool(cfg.get_path("tpu.int8_eval", False))
+        if want_int8 and eval_mode and not eval_one:
+            _warn_int8_ignored(
+                f"the one-shot eval kernel is not active here "
+                f"(rec_native={rec_native}, qfold={qfold}, "
+                f"eval_fused={bool(cfg.get_path('tpu.eval_fused', True))})")
         if eval_one:
             from ..ops.stream_attn import attend_stream_eval
             vp = params["attn"]["embed_v"]
@@ -627,7 +650,7 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                 e.key.ff_act, e.key.ff_last_act,
                 e.value.ff_act, e.value.ff_last_act, attn_cfg.score_act,
                 bkg_score, normalize, eps, tile, interp, cdt_name,
-                mxu, vmem)                                  # (T,C),(T,K+1)
+                mxu, vmem, int8=want_int8)                  # (T,C),(T,K+1)
         elif qfold:
             # Query-folded rec kernel: the query walk (posenc -> embedder
             # -> w_q) runs in-kernel; the k==0 grid step computes qq into a

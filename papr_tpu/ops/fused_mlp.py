@@ -319,6 +319,38 @@ def walk_body_fwd(cfg, xf, w_refs, b_refs, ln_refs):
     return y, hs, li, lo
 
 
+def walk_body_fwd_q(cfg, xf, w_refs, inv_refs, dq_refs, b_refs, ln_refs):
+    """Int8 variant of walk_body_fwd (forward-only, eval path).
+
+    Each dense layer's input quantizes per COLUMN (the per-column
+    activation scale is pre-folded into the int8 weights by the wrapper,
+    so the kernel only multiplies by the inverse-scale row), the weights
+    are int8 with per-output-channel dequant rows, and the matmul
+    accumulates int32 on the MXU — 2x the bf16 MXU rate on v5e
+    (tools/int8_walk_microbench.py: static-scale int8 1.3-1.6x over bf16
+    at the walk's shapes; dynamic per-row quantization LOSES and is not
+    offered). LNs, bias, activation stay fp32.
+    """
+    (n, act, last_act, cdt, d_raw, d_enc, d_out, T, tile, has_pe, has_li,
+     has_lo, eps) = cfg
+    if has_li:
+        h, _, _, _ = _ln_fwd(xf, ln_refs[0][:], ln_refs[1][:], d_enc, eps)
+    else:
+        h = xf
+    for i in range(n):
+        q = jnp.clip(jnp.round(h * inv_refs[i][:]), -127.0, 127.0).astype(
+            jnp.int8)
+        z = jnp.dot(q, w_refs[i][:], preferred_element_type=jnp.int32)
+        z = z.astype(jnp.float32) * dq_refs[i][:] + b_refs[i][:]
+        h = _act_fwd(z, last_act if i == n - 1 else act)
+    if has_lo:
+        k = 2 if has_li else 0
+        y, _, _, _ = _ln_fwd(h, ln_refs[k][:], ln_refs[k + 1][:], d_out, eps)
+    else:
+        y = h
+    return y
+
+
 def walk_bwd(cfg, g, hs, pe, li, lo, pe_refs, w_refs, accum):
     """Reverse walk matching walk_fwd: upstream g (rows, d_out_pad) fp32,
     zero on pad lanes/rows. ``accum(kind, i, val)`` accumulates parameter

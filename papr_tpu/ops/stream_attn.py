@@ -45,8 +45,8 @@ from . import fused_mlp as _fm
 from .fused_mlp import (_bsum, _cfg_tuple, _layout, _pad2,
                         _pe_freq, _pe_freq_bwd, _posenc_plan, _round_up,
                         _row_mask_fix as _zero_rows, _split_refs,
-                        _zero_lanes, walk_body_bwd, walk_body_fwd, walk_bwd,
-                        walk_fwd)
+                        _zero_lanes, walk_body_bwd, walk_body_fwd,
+                        walk_body_fwd_q, walk_bwd, walk_fwd)
 
 _LANE = 128
 
@@ -1800,22 +1800,29 @@ value_stream_fuse_rec.defvjp(_vsr_fwd, _vsr_bwd)
 # keeps the two bwd-capable kernels.
 
 def _ase_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, *refs):
-    (kcfg, vcfg, K, dm, score_act, bkg, normalize, cdt, tile, T, eps) = meta
+    (kcfg, vcfg, K, dm, score_act, bkg, normalize, cdt, tile, T, eps,
+     quant) = meta
     n, nv = kcfg[0], vcfg[0]
+    # Per-walk ref layout: S(4), w(n), b(n), [inv(n), dq(n) when quant], ln.
+    qn = 2 if quant else 0
     S_k = refs[:4]
     i = 4
     kw, kb = refs[i:i + n], refs[i + n:i + 2 * n]
+    kinv = refs[i + 2 * n:i + 3 * n] if quant else ()
+    kdq = refs[i + 3 * n:i + 4 * n] if quant else ()
     nkln = 2 * (kcfg[10] + kcfg[11])
-    kln = refs[i + 2 * n:i + 2 * n + nkln]
-    i += 2 * n + nkln
+    kln = refs[i + (2 + qn) * n:i + (2 + qn) * n + nkln]
+    i += (2 + qn) * n + nkln
     wk_ref, bk_ref = refs[i], refs[i + 1]
     i += 2
     S_v = refs[i:i + 4]
     i += 4
     vw, vb = refs[i:i + nv], refs[i + nv:i + 2 * nv]
+    vinv = refs[i + 2 * nv:i + 3 * nv] if quant else ()
+    vdq = refs[i + 3 * nv:i + 4 * nv] if quant else ()
     nvln = 2 * (vcfg[10] + vcfg[11])
-    vln = refs[i + 2 * nv:i + 2 * nv + nvln]
-    i += 2 * nv + nvln
+    vln = refs[i + (2 + qn) * nv:i + (2 + qn) * nv + nvln]
+    i += (2 + qn) * nv + nvln
     fused_ref, attn_ref, ss_ref = refs[i], refs[i + 1], refs[i + 2]
     m_ref = refs[i + 3]                        # VMEM scratch: running max
     k = pl.program_id(1)
@@ -1833,7 +1840,10 @@ def _ase_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, *refs):
         return _pe_freq(xg, S[3][:])[0]
 
     # Key branch: embed -> score column (identical math to _ksr_fwd_kernel).
-    y_k, _, _, _ = walk_body_fwd(kcfg, encode(S_k), kw, kb, kln)
+    if quant:
+        y_k = walk_body_fwd_q(kcfg, encode(S_k), kw, kinv, kdq, kb, kln)
+    else:
+        y_k, _, _, _ = walk_body_fwd(kcfg, encode(S_k), kw, kb, kln)
     kk = _linear(y_k.astype(cdt), wk_ref, bk_ref, cdt)
     qq = _zero_lanes(qq_ref[:], dm).astype(jnp.float32)
     col = _dot_col(qq, kk, dm) / math.sqrt(dm)
@@ -1844,7 +1854,10 @@ def _ase_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, *refs):
     ss_ref[:] = ss
 
     # Value branch (same record/geometry, value S matrices + stack).
-    y_v, _, _, _ = walk_body_fwd(vcfg, encode(S_v), vw, vb, vln)
+    if quant:
+        y_v = walk_body_fwd_q(vcfg, encode(S_v), vw, vinv, vdq, vb, vln)
+    else:
+        y_v, _, _, _ = walk_body_fwd(vcfg, encode(S_v), vw, vb, vln)
     yc = y_v.astype(cdt).astype(jnp.float32)
 
     # Online softmax-weighted accumulation. m starts at the (constant) bkg
@@ -1875,12 +1888,74 @@ def _ase_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, *refs):
         fused_ref[:] = (acc / d).astype(fused_ref.dtype)
 
 
+_INT8_CAL_ROWS = 1024      # calibration subsample row budget (across K)
+
+
+def _walk_amax(rec, rayo, rays, S, cfg, wsp, bsp, lns, eps,
+               rows=_INT8_CAL_ROWS):
+    """Per-layer per-column activation amax of a walk, measured in plain
+    JAX on an evenly-strided row subsample of the SAME inputs the kernel
+    is about to run on (self-calibrating: no offline pass, no state).
+
+    Runs encode + walk_body_fwd exactly as the kernel does (jnp arrays
+    support the refs' ``[:]`` indexing) on ~``rows`` tokens — <1% of the
+    tile's walk FLOPs — and amaxes each dense layer's input over the
+    alive rows. Returns n arrays of shape (1, d_in_pad)."""
+    K, T, rp = rec.shape
+    Ts = max(1, min(T, rows // max(K, 1)))
+    idx = jnp.arange(Ts) * max(1, T // Ts)
+    recb = rec[:, idx].reshape(K * Ts, rp).astype(jnp.float32)
+    # rayo/rays arrive (T, 3); the kernel reads them through an oversized
+    # (tile, rec_pad) block (pad lanes are junk, masked by _mask3) — here
+    # pad explicitly instead.
+    ro = jnp.broadcast_to(
+        _pad2(rayo[idx].astype(jnp.float32), Ts, rp)[None],
+        (K, Ts, rp)).reshape(K * Ts, rp)
+    rd = jnp.broadcast_to(
+        _pad2(rays[idx].astype(jnp.float32), Ts, rp)[None],
+        (K, Ts, rp)).reshape(K * Ts, rp)
+    proj, perp, _ = _geom_fwd(_mask3(recb), _mask3(ro), _mask3(rd), eps)
+    xg = (jnp.dot(recb, S[0], preferred_element_type=jnp.float32)
+          + jnp.dot(proj, S[1], preferred_element_type=jnp.float32)
+          + jnp.dot(perp, S[2], preferred_element_type=jnp.float32))
+    enc, _ = _pe_freq(xg, S[3])
+    alive = _rec_lane(recb, _REC_ALIVE) > 0.5
+    _, hs, _, _ = walk_body_fwd(cfg, enc, wsp, bsp, lns)
+    return [jnp.max(jnp.where(alive, jnp.abs(h.astype(jnp.float32)), 0.0),
+                    axis=0, keepdims=True) for h in hs[:cfg[0]]]
+
+
+def _quantize_walk(ws, pdims, amaxs):
+    """Per-layer int8 weights for walk_body_fwd_q, from the ORIGINAL fp32
+    weights (not the bf16-cast kernel copies — one rounding, not two).
+
+    The per-column activation scale (amax/127) folds INTO the weight rows
+    before per-output-channel weight quantization (smoothquant-style: free
+    at runtime, and mixed-magnitude input columns — posenc self vs sin/cos
+    lanes — each keep their own full int8 range). Returns (int8 padded
+    weights, inverse-activation-scale rows (1, d_in_pad), dequant rows
+    (1, d_out_pad))."""
+    wq, inv, dq = [], [], []
+    for i, w in enumerate(ws):
+        wp = _pad2(w.astype(jnp.float32), pdims[i], pdims[i + 1])
+        ax = amaxs[i]                                   # (1, d_in_pad)
+        inv.append(jnp.where(ax > 0, 127.0 / jnp.where(ax > 0, ax, 1.0),
+                             0.0))
+        wf = wp * (ax / 127.0).T                        # fold act scale
+        sw = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
+        q = jnp.where(sw > 0, wf / jnp.where(sw > 0, sw, 1.0), 0.0)
+        wq.append(jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8))
+        dq.append(sw)
+    return wq, inv, dq
+
+
 def attend_stream_eval(rec, rayo, rays, qq, kws, kbs, kln_in, kln_out, wk,
                        bk, vws, vbs, vln_in, vln_out, k_desc=None,
                        v_desc=None, kact="relu", klast="none", vact="relu",
                        vlast="none", score_act="relu", bkg_score=5.0,
                        normalize=True, eps=1e-6, tile=256, interpret=False,
-                       compute=None, mxu_reduce=None, vmem_mb=0):
+                       compute=None, mxu_reduce=None, vmem_mb=0,
+                       int8=False):
     """Fused rec-native eval attention: ONE dispatch from gathered records
     to (fused features, attention). Forward-only — raises under
     differentiation (training uses key_stream_scores_rec +
@@ -1888,6 +1963,13 @@ def attend_stream_eval(rec, rayo, rays, qq, kws, kbs, kln_in, kln_out, wk,
 
     Args as key_stream_scores_rec + the value stack/descriptor of
     value_stream_fuse_rec. Returns (fused (T, Cv) fp32, attn (T, K+1) fp32).
+
+    ``int8=True`` (tpu.int8_eval) quantizes BOTH walks' dense stacks to
+    int8 (walk_body_fwd_q): 2x the bf16 MXU rate on v5e for the render
+    path's dominant stage. Self-calibrating per call from a row subsample
+    (_walk_amax); everything outside the dense stacks (posenc, LN, score,
+    softmax, fuse) stays fp32. Approximate by construction — quality
+    measured in tests/test_int8_eval.py and docs/status_round4.md.
     """
     K, T, rec_pad = rec.shape
     tile = min(2 * tile, max(8, T))            # forward-only: see _ksr_fwd
@@ -1902,17 +1984,37 @@ def attend_stream_eval(rec, rayo, rays, qq, kws, kbs, kln_in, kln_out, wk,
     wkT = _pad2(wk.astype(cdt).T, kpdims[-1], dm_pad)
     bk2 = _pad2(bk.astype(jnp.float32)[None, :], 1, dm_pad)
     meta = (kcfg, vcfg, K, dm, score_act, float(bkg_score), bool(normalize),
-            cdt, tile, T, float(eps))
+            cdt, tile, T, float(eps), bool(int8))
     const = lambda t, k: (0, 0)
     trow = lambda t, k: (t, 0)
+    kq = vq = ()
+    if int8:
+        with _fm._mxu_scope(mxu_reduce):
+            k_amax = _walk_amax(rec, rayo, rays, S_k, kcfg, kwsp, kbsp,
+                                klns, eps)
+            v_amax = _walk_amax(rec, rayo, rays, S_v, vcfg, vwsp, vbsp,
+                                vlns, eps)
+        kwq, kinv, kdq = _quantize_walk(kws, kpdims, k_amax)
+        vwq, vinv, vdq = _quantize_walk(vws, vpdims, v_amax)
+        kwsp, vwsp = kwq, vwq                  # int8 weights ride the
+        kq = tuple(kinv) + tuple(kdq)          # same specs; scale rows
+        vq = tuple(vinv) + tuple(vdq)          # append after the biases
+    qrow = lambda pdims, n: ([pl.BlockSpec((1, pdims[i]), const)
+                              for i in range(n)]
+                             + [pl.BlockSpec((1, pdims[i + 1]), const)
+                                for i in range(n)]) if int8 else []
     in_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
                  pl.BlockSpec((tile, rec_pad), trow),
                  pl.BlockSpec((tile, rec_pad), trow),
                  pl.BlockSpec((tile, dm_pad), trow)]
-                + _rec_param_specs(len(kws), kpdims, S_k, klns, const)
+                + _rec_param_specs(len(kws), kpdims, S_k, klns, const)[:-len(klns) or None]
+                + qrow(kpdims, len(kws))
+                + [pl.BlockSpec(l.shape, const) for l in klns]
                 + [pl.BlockSpec((kpdims[-1], dm_pad), const),
                    pl.BlockSpec((1, dm_pad), const)]
-                + _rec_param_specs(len(vws), vpdims, S_v, vlns, const))
+                + _rec_param_specs(len(vws), vpdims, S_v, vlns, const)[:-len(vlns) or None]
+                + qrow(vpdims, len(vws))
+                + [pl.BlockSpec(l.shape, const) for l in vlns])
     # Both walks resident per step: the measured key-fwd footprint alone is
     # ~11 MB at tile 1024 (22.6 at 2048); floor the combined kernel by tile
     # so the default 16 MB budget never faults it.
@@ -1931,6 +2033,6 @@ def attend_stream_eval(rec, rayo, rays, qq, kws, kbs, kln_in, kln_out, wk,
             scratch_shapes=[_pltpu.VMEM((tile, _LANE), jnp.float32)],
             interpret=interpret,
             **_cp(interpret, floor_mb=floor, vmem_mb=vmem_mb),
-        )(rec, rayo, rays, qq, *S_k, *kwsp, *kbsp, *klns, wkT, bk2,
-          *S_v, *vwsp, *vbsp, *vlns)
+        )(rec, rayo, rays, qq, *S_k, *kwsp, *kbsp, *kq, *klns, wkT, bk2,
+          *S_v, *vwsp, *vbsp, *vq, *vlns)
     return fused[:, :vdims[-1]], attn

@@ -184,8 +184,15 @@ def _cull_kernel(rays_ref, f_ref, recs_ref, out_ref, best_scr, work_scr,
                     # candidates hold MAXI there, which never exits.
                     kth = jnp.max(jnp.where(lane128 < k, best_scr[:],
                                             jnp.int32(0)))
-                    nxt = ((c + 1) * chunk) % (n_chunks * chunk)
-                    lbv = recs_ref[0, 5:6, pl.ds(nxt, 1)]       # (1,1) f32
+                    # Index written as (scalar % n) * chunk — a bare
+                    # multiple of the 512-aligned chunk, so Mosaic can
+                    # statically prove lane alignment (the equivalent
+                    # ((c+1)*chunk) % (n*chunk) hides it behind the
+                    # modulo and fails to compile); the load takes the
+                    # chunk's first full 128-lane group for the same
+                    # reason and uses element 0.
+                    nxt = ((c + 1) % n_chunks) * chunk
+                    lbv = recs_ref[0, 5:6, pl.ds(nxt, 128)]     # (1,128)
                     lb_next = (pltpu.bitcast(lbv, jnp.int32) &
                                jnp.int32(VAL_MASK))[0, 0]
                     settled = jnp.logical_and(c + 1 < n_chunks, kth < lb_next)

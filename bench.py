@@ -34,6 +34,14 @@ if _os.environ.get("PAPR_PLATFORM"):
     import jax as _jax
     _jax.config.update("jax_platforms", _os.environ["PAPR_PLATFORM"])
 
+# Persistent compilation cache shared across the bench's child processes
+# (and across bench invocations): repeat compiles of the same train/render
+# programs become cache hits instead of multi-minute retraces. Harmless if
+# the backend doesn't support it (JAX logs a warning and proceeds).
+_CACHE_DIR = _os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
+
 import json
 import subprocess
 import sys
@@ -42,6 +50,15 @@ import time
 import numpy as np
 
 REFERENCE_RAYS_PER_SEC_A100_EST = 102_400.0  # 160*160 / 0.25s; BASELINE.md
+
+_T0 = time.perf_counter()
+
+
+def _stamp(msg: str):
+    """Per-phase wall-clock stamps on stderr: a killed run still shows where
+    the time went (VERDICT r4 weak #1 — BENCH_r04 died with no evidence)."""
+    print(f"bench[{time.perf_counter() - _T0:8.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _bench_loss_fn(cfg, with_lpips: bool):
@@ -187,10 +204,15 @@ def bench_train(with_lpips: bool):
     cfg = _flagship_cfg(patch=patch, points=2048 if small else 30000,
                         k=8 if small else 20)
 
+    _stamp("imports + config done")
     params, state = create_model(cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    _stamp("create_model done")
     opt_state = make_opt_state(cfg, params)
-    train_step, _ = make_train_step(cfg, loss_fn=_bench_loss_fn(cfg, with_lpips),
-                                    donate=True)
+    loss_fn = _bench_loss_fn(cfg, with_lpips)
+    jax.block_until_ready(opt_state)
+    _stamp("opt state + loss params done")
+    train_step, _ = make_train_step(cfg, loss_fn=loss_fn, donate=True)
 
     rng = np.random.default_rng(0)
     rayo = jax.numpy.asarray(rng.normal(size=(1, 3)).astype(np.float32) * 3.0)
@@ -200,11 +222,20 @@ def bench_train(with_lpips: bool):
     c2w = jax.numpy.asarray(np.eye(4, dtype=np.float32)[None])
 
     # Warmup / compile (hard sync: block_until_ready alone is unreliable
-    # through the axon tunnel — force a host readback).
-    for i in range(3):
+    # through the axon tunnel — force a host readback). Timed separately so
+    # a compile-time regression is visible as such (BENCH_r04 postmortem).
+    tc = time.perf_counter()
+    params, opt_state, loss, _ = train_step(
+        params, opt_state, state, rayo, rayd, target, c2w, 0)
+    float(loss)
+    _stamp(f"train_step first call (trace+compile+run): "
+           f"{time.perf_counter() - tc:.1f}s")
+    tc = time.perf_counter()
+    for i in range(1, 3):
         params, opt_state, loss, _ = train_step(
             params, opt_state, state, rayo, rayd, target, c2w, i)
     float(loss)
+    _stamp(f"train_step warm steps 2-3: {time.perf_counter() - tc:.2f}s")
 
     # Marginal timing: two chained windows, one readback each, difference
     # removes dispatch/readback constants.
@@ -221,6 +252,7 @@ def bench_train(with_lpips: bool):
     n1, n2 = (2, 6) if small else (5, 15)
     t1 = chain(n1, 10)
     t2 = chain(n2, 20)
+    _stamp(f"steady-state windows: {t1:.2f}s/{n1} + {t2:.2f}s/{n2}")
     iters = n2 - n1
     dt = max(t2 - t1, 1e-6)
 
@@ -231,16 +263,43 @@ def bench_train(with_lpips: bool):
                       "unit": "rays/s"}))
 
 
-def _run_mode(mode: str, timeout: int = 2400):
+# Total wall-clock budget for the orchestrated run. The driver kills the
+# bench at an unknown horizon (BENCH_r04 died at rc=124 with nothing
+# printed); staying inside ~20 min with modes skipped loudly beats a
+# complete-but-dead run every time.
+_BUDGET_S = float(_os.environ.get("PAPR_BENCH_BUDGET", "1200"))
+
+
+def _budget_left():
+    return _BUDGET_S - (time.perf_counter() - _T0)
+
+
+def _run_mode(mode: str, timeout: float = 600):
     """One sub-metric in a fresh process (one config per process: required
     for trustworthy timing through the tunnel, and keeps a single TPU
-    client alive at a time)."""
+    client alive at a time). Bounded by the remaining total budget; a
+    timeout or failure returns None instead of raising."""
+    timeout = min(timeout, _budget_left())
+    if timeout < 30:
+        _stamp(f"mode {mode} SKIPPED: {_budget_left():.0f}s of the "
+               f"{_BUDGET_S:.0f}s budget left")
+        return None
+    _stamp(f"mode {mode} starting (timeout {timeout:.0f}s)")
     env = dict(_os.environ, PAPR_BENCH=mode, PAPR_BENCH_CHILD="1")
-    r = subprocess.run([sys.executable, _os.path.abspath(__file__)],
-                       capture_output=True, text=True, timeout=timeout,
-                       cwd=_os.path.dirname(_os.path.abspath(__file__)),
-                       env=env)
+    try:
+        r = subprocess.run([sys.executable, _os.path.abspath(__file__)],
+                           capture_output=True, text=True, timeout=timeout,
+                           cwd=_os.path.dirname(_os.path.abspath(__file__)),
+                           env=env)
+    except subprocess.TimeoutExpired as e:
+        tail = (e.stderr or b"")
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        sys.stderr.write(tail[-2000:])
+        _stamp(f"mode {mode} TIMED OUT after {timeout:.0f}s")
+        return None
     sys.stderr.write(r.stderr[-2000:])
+    _stamp(f"mode {mode} done rc={r.returncode}")
     if r.returncode != 0:
         print(f"bench: mode {mode} failed rc={r.returncode}", file=sys.stderr)
         return None
@@ -267,9 +326,18 @@ def main():
     if mode == "train_lpips":
         return bench_train(with_lpips=True)
 
-    # Orchestrate: each metric in its own process, combined into ONE line.
+    # Orchestrate: each metric in its own process. The combined JSON line is
+    # printed IMMEDIATELY once the primary metric lands, then reprinted
+    # enriched after every optional mode — a driver kill at any later point
+    # still leaves the last complete line on stdout (parsers take the last
+    # JSON line).
     small = bool(_os.environ.get("PAPR_BENCH_SMALL"))
-    primary = _run_mode("train_lpips")
+    _stamp(f"orchestrating; budget {_BUDGET_S:.0f}s; "
+           f"compilation cache at {_CACHE_DIR}")
+    # The axon backend's server-side compile of the train step is 30-600 s
+    # (measured spread, docs/status_round5.md) and invisible to the client
+    # until the first execution returns — give the primary the headroom.
+    primary = _run_mode("train_lpips", timeout=900)
     if primary is None:
         raise SystemExit("bench: primary metric failed")
     out = {
@@ -278,12 +346,10 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(primary["value"] / REFERENCE_RAYS_PER_SEC_A100_EST, 3),
     }
+    print(json.dumps(out), flush=True)
     # Secondary metrics only on real runs: CPU-CI (PAPR_BENCH_SMALL) keeps to
     # the primary to stay inside the test budget (~2.5 min/mode on CPU).
     if not small:
-        no_lpips = _run_mode("train")
-        if no_lpips:
-            out["train_rays_per_sec_no_lpips"] = no_lpips["value"]
         render = _run_mode("render")
         if render:
             out["render_800x800_fps"] = render["value"]
@@ -293,7 +359,12 @@ def main():
                 out["render_800x800_fps_device"] = render["device_fps"]
             if "fp32_fetch_fps" in render:
                 out["render_800x800_fps_fp32_fetch"] = render["fp32_fetch_fps"]
-    print(json.dumps(out))
+            print(json.dumps(out), flush=True)
+        no_lpips = _run_mode("train")
+        if no_lpips:
+            out["train_rays_per_sec_no_lpips"] = no_lpips["value"]
+            print(json.dumps(out), flush=True)
+    _stamp("all modes done")
 
 
 if __name__ == "__main__":

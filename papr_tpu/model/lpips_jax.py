@@ -76,16 +76,29 @@ def random_lpips_params(key: jax.Array, use_real_lins: bool = False) -> dict:
 
     The conv backbone is random but the 5 lin heads come from the shipped
     converted asset when available (``use_real_lins``), so the channel
-    weighting of each slice matches the reference's learned calibration."""
-    convs = []
-    in_c = 3
-    for i, (out_c, _) in enumerate(VGG16_CONVS):
-        k1, k2, key = jax.random.split(key, 3)
-        convs.append({
-            "w": jax.random.normal(k1, (3, 3, in_c, out_c)) * 0.05,
-            "b": jax.random.normal(k2, (out_c,)) * 0.05,
-        })
-        in_c = out_c
+    weighting of each slice matches the reference's learned calibration.
+
+    Built as ONE jitted program: eager per-tensor jax.random calls cost a
+    compile round-trip each on remote-compile backends (~30 ops here)."""
+    def build(key):
+        convs = []
+        in_c = 3
+        for i, (out_c, _) in enumerate(VGG16_CONVS):
+            k1, k2, key = jax.random.split(key, 3)
+            convs.append({
+                "w": jax.random.normal(k1, (3, 3, in_c, out_c)) * 0.05,
+                "b": jax.random.normal(k2, (out_c,)) * 0.05,
+            })
+            in_c = out_c
+        lins = []
+        if not use_real_lins:
+            slice_cs = (64, 128, 256, 512, 512)
+            for i, c in enumerate(slice_cs):
+                key, k = jax.random.split(key)
+                lins.append(jax.random.uniform(k, (c,)))
+        return convs, lins
+
+    convs, lins = jax.jit(build)(key)
     if use_real_lins:
         lins = load_lin_params()
         if lins is None:
@@ -94,12 +107,6 @@ def random_lpips_params(key: jax.Array, use_real_lins: bool = False) -> dict:
                 f"real lin heads requested but {DEFAULT_LIN_WEIGHTS} is "
                 "missing; restore the shipped asset or use "
                 "tpu.lpips_fallback: random.")
-    else:
-        lins = []
-        slice_cs = (64, 128, 256, 512, 512)
-        for i, c in enumerate(slice_cs):
-            key, k = jax.random.split(key)
-            lins.append(jax.random.uniform(k, (c,)))
     return {"convs": convs, "lins": lins}
 
 

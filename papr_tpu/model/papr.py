@@ -177,53 +177,67 @@ def create_model(cfg, key: jax.Array, init_points: np.ndarray | None = None):
     alive = np.zeros((P,), bool)
     alive[:n_live] = True
 
-    keys = jax.random.split(key, 8)
-    params: dict[str, Any] = {
-        "points": jnp.asarray(points),
-        "points_influ_scores": jnp.full((P, 1), float(point_opt.influ_init_val)),
-    }
+    def build(key, points):
+        """Device-side param construction, traced as ONE program. Eager
+        init (a jax.random call per tensor) costs a compile round-trip per
+        op — ~0.4-1 s each on remote-compile backends, ~80 ops for the
+        flagship model — so the whole build is jitted below."""
+        keys = jax.random.split(key, 8)
+        params: dict[str, Any] = {
+            "points": points,
+            # Explicit dtype: jnp.full from a Python float is weak-typed,
+            # and a weak param leaf (plus the Adam moments zeros_like
+            # inherits from it) strengthens over the first two steps,
+            # forcing THREE compiles of the train step before the
+            # signature stabilizes.
+            "points_influ_scores": jnp.full(
+                (P, 1), float(point_opt.influ_init_val), dtype=jnp.float32),
+        }
 
-    pc = cfg.geoms.point_feats
-    extra = {"k": 0, "q": 0, "v": 0}
-    if meta.use_pc_feats:
-        params["pc_feats"] = jax.random.normal(keys[1], (P, int(pc.dim)))
-        for name, flag in (("k", pc.use_ink), ("q", pc.use_inq), ("v", pc.use_inv)):
-            if flag:
-                extra[name] = int(pc.dim)
+        pc = cfg.geoms.point_feats
+        extra = {"k": 0, "q": 0, "v": 0}
+        if meta.use_pc_feats:
+            params["pc_feats"] = jax.random.normal(keys[1], (P, int(pc.dim)))
+            for name, flag in (("k", pc.use_ink), ("q", pc.use_inq),
+                               ("v", pc.use_inv)):
+                if flag:
+                    extra[name] = int(pc.dim)
 
-    params["attn"] = attention_init(
-        keys[2], cfg.models.attn, k_extra_dim=extra["k"],
-        q_extra_dim=extra["q"], v_extra_dim=extra["v"], eps=cfg.eps)
+        params["attn"] = attention_init(
+            keys[2], cfg.models.attn, k_extra_dim=extra["k"],
+            q_extra_dim=extra["q"], v_extra_dim=extra["v"], eps=cfg.eps)
 
-    if meta.use_renderer:
-        gen = cfg.models.renderer.generator
-        if gen.type == "small-unet":
-            su = gen.small_unet
-            params["renderer"] = small_unet_init(
-                keys[3], meta.feat_dim, 3, bilinear=su.bilinear,
-                single=su.single, render_scale=int(su.get("render_scale", 1)))
-        elif gen.type == "mlp":
-            m = gen.mlp
-            params["renderer"] = mlp_init(
-                keys[3], meta.feat_dim, m.num_layers, m.num_channels, 3,
-                use_wn=m.use_wn, skip_layers=tuple(m.skip_layers),
-                bias=m.bias, half_layers=tuple(m.half_layers))
+        if meta.use_renderer:
+            gen = cfg.models.renderer.generator
+            if gen.type == "small-unet":
+                su = gen.small_unet
+                params["renderer"] = small_unet_init(
+                    keys[3], meta.feat_dim, 3, bilinear=su.bilinear,
+                    single=su.single, render_scale=int(su.get("render_scale", 1)))
+            elif gen.type == "mlp":
+                m = gen.mlp
+                params["renderer"] = mlp_init(
+                    keys[3], meta.feat_dim, m.num_layers, m.num_channels, 3,
+                    use_wn=m.use_wn, skip_layers=tuple(m.skip_layers),
+                    bias=m.bias, half_layers=tuple(m.half_layers))
+            else:
+                raise NotImplementedError(f"generator type [{gen.type}]")
         else:
-            raise NotImplementedError(f"generator type [{gen.type}]")
-    else:
-        assert meta.feat_dim == 3, \
-            "Value embedding MLP should have output dim 3 if not using renderer"
+            assert meta.feat_dim == 3, \
+                "Value embedding MLP should have output dim 3 if not using renderer"
 
-    params["bkg_feats"] = jnp.asarray(
-        np.asarray(cfg.geoms.background.init_color, np.float32)[None, :])
+        params["bkg_feats"] = jnp.asarray(
+            np.asarray(cfg.geoms.background.init_color, np.float32)[None, :])
 
-    if meta.use_mapping_mlp:
-        ec = cfg.exposure_control
-        params["mapping_mlp"] = mlp_init(
-            keys[4], int(ec.shading_code_dim), int(ec.mapping_mlp.num_layers),
-            int(ec.mapping_mlp.dim), int(ec.mapping_mlp.out_dim),
-            use_wn=ec.mapping_mlp.use_wn)
+        if meta.use_mapping_mlp:
+            ec = cfg.exposure_control
+            params["mapping_mlp"] = mlp_init(
+                keys[4], int(ec.shading_code_dim),
+                int(ec.mapping_mlp.num_layers), int(ec.mapping_mlp.dim),
+                int(ec.mapping_mlp.out_dim), use_wn=ec.mapping_mlp.use_wn)
+        return params
 
+    params = jax.jit(build)(key, jnp.asarray(points))
     state = {"alive": jnp.asarray(alive)}
     return params, state
 

@@ -928,11 +928,21 @@ def _rec_prep(rec, ws, bs, ln_in, ln_out, enc_desc, has_pos, act, last_act,
     return cdt, dims, pdims, S_mats, wsp, bsp, lns, kcfg
 
 
-def _rec_param_specs(n, pdims, S_mats, lns, const):
+def _rec_param_specs(n, pdims, S_mats, lns, const, quant=False):
+    """Single source of truth for a rec-walk's parameter BlockSpec layout:
+    S matrices, n weight mats, n bias rows, then — when ``quant`` — n
+    inverse-activation-scale rows + n dequant rows (walk_body_fwd_q), then
+    the LN tables. Call sites pass refs in exactly this order (e.g.
+    attend_stream_eval's ``*S, *w, *b, *q, *lns``); keeping the quant rows
+    here means a reorder cannot silently misalign specs against refs."""
+    quant_specs = ([pl.BlockSpec((1, pdims[i]), const) for i in range(n)]
+                   + [pl.BlockSpec((1, pdims[i + 1]), const)
+                      for i in range(n)]) if quant else []
     return ([pl.BlockSpec(s.shape, const) for s in S_mats]
             + [pl.BlockSpec((pdims[i], pdims[i + 1]), const)
                for i in range(n)]
             + [pl.BlockSpec((1, pdims[i + 1]), const) for i in range(n)]
+            + quant_specs
             + [pl.BlockSpec(l.shape, const) for l in lns])
 
 
@@ -1889,6 +1899,11 @@ def _ase_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, *refs):
 
 
 _INT8_CAL_ROWS = 1024      # calibration subsample row budget (across K)
+# Headroom over the subsampled amax: rows outside the <=1024-row strided
+# sample can exceed the measured amax (e.g. rare near-camera points) and
+# would clip hard at +/-127; 10% headroom trades ~0.14 bit of resolution
+# for bounded clipping on outliers up to 1.1x the sample max.
+_INT8_CAL_HEADROOM = 1.1
 
 
 def _walk_amax(rec, rayo, rays, S, cfg, wsp, bsp, lns, eps,
@@ -1921,8 +1936,9 @@ def _walk_amax(rec, rayo, rays, S, cfg, wsp, bsp, lns, eps,
     enc, _ = _pe_freq(xg, S[3])
     alive = _rec_lane(recb, _REC_ALIVE) > 0.5
     _, hs, _, _ = walk_body_fwd(cfg, enc, wsp, bsp, lns)
-    return [jnp.max(jnp.where(alive, jnp.abs(h.astype(jnp.float32)), 0.0),
-                    axis=0, keepdims=True) for h in hs[:cfg[0]]]
+    return [_INT8_CAL_HEADROOM
+            * jnp.max(jnp.where(alive, jnp.abs(h.astype(jnp.float32)), 0.0),
+                      axis=0, keepdims=True) for h in hs[:cfg[0]]]
 
 
 def _quantize_walk(ws, pdims, amaxs):
@@ -1999,21 +2015,17 @@ def attend_stream_eval(rec, rayo, rays, qq, kws, kbs, kln_in, kln_out, wk,
         kwsp, vwsp = kwq, vwq                  # int8 weights ride the
         kq = tuple(kinv) + tuple(kdq)          # same specs; scale rows
         vq = tuple(vinv) + tuple(vdq)          # append after the biases
-    qrow = lambda pdims, n: ([pl.BlockSpec((1, pdims[i]), const)
-                              for i in range(n)]
-                             + [pl.BlockSpec((1, pdims[i + 1]), const)
-                                for i in range(n)]) if int8 else []
     in_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
                  pl.BlockSpec((tile, rec_pad), trow),
                  pl.BlockSpec((tile, rec_pad), trow),
                  pl.BlockSpec((tile, dm_pad), trow)]
-                + _rec_param_specs(len(kws), kpdims, S_k, klns, const)[:-len(klns) or None]
-                + qrow(kpdims, len(kws))
+                + _rec_param_specs(len(kws), kpdims, S_k, (), const,
+                                   quant=int8)
                 + [pl.BlockSpec(l.shape, const) for l in klns]
                 + [pl.BlockSpec((kpdims[-1], dm_pad), const),
                    pl.BlockSpec((1, dm_pad), const)]
-                + _rec_param_specs(len(vws), vpdims, S_v, vlns, const)[:-len(vlns) or None]
-                + qrow(vpdims, len(vws))
+                + _rec_param_specs(len(vws), vpdims, S_v, (), const,
+                                   quant=int8)
                 + [pl.BlockSpec(l.shape, const) for l in vlns])
     # Both walks resident per step: the measured key-fwd footprint alone is
     # ~11 MB at tile 1024 (22.6 at 2048); floor the combined kernel by tile

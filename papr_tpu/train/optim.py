@@ -67,14 +67,19 @@ def build_group_specs(cfg) -> dict[str, GroupSpec]:
 
 
 def init_opt_state(params: dict, specs: dict[str, GroupSpec]) -> dict:
-    state = {}
-    for key in params:
-        if key not in specs:
-            continue
-        zeros = jax.tree.map(jnp.zeros_like, params[key])
-        state[key] = {"m": zeros, "v": jax.tree.map(jnp.zeros_like, params[key]),
-                      "t": jnp.zeros((), jnp.int32)}
-    return state
+    # One jitted program for the whole tree: eager zeros_like costs a
+    # compile round-trip PER LEAF on remote-compile backends.
+    def build(params):
+        state = {}
+        for key in params:
+            if key not in specs:
+                continue
+            zeros = jax.tree.map(jnp.zeros_like, params[key])
+            state[key] = {"m": zeros,
+                          "v": jax.tree.map(jnp.zeros_like, params[key]),
+                          "t": jnp.zeros((), jnp.int32)}
+        return state
+    return jax.jit(build)(params)
 
 
 def apply_updates(params: dict, grads: dict, opt_state: dict,

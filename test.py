@@ -47,6 +47,11 @@ def parse_args():
     p.add_argument("--start_index", type=int, default=0)
     p.add_argument("--end_index", type=int, default=1)
     p.add_argument("--num_intrp", type=int, default=10)
+    # Parsed-and-ignored, exactly like the reference (its test.py:34 defines
+    # --resample but nothing reads it) — kept for strict CLI flag parity.
+    p.add_argument("--resample", action="store_true",
+                   help="[Exposure control] accepted for reference-CLI "
+                        "parity; unused (unused in the reference too)")
     return p.parse_args()
 
 

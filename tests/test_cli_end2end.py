@@ -110,14 +110,13 @@ def test_test_cli_resume_step_loads_snapshot(trained):
     assert "Avg test loss" in out2
 
 
-def test_test_cli_rejects_removed_resample_flag(trained):
+def test_test_cli_accepts_resample_flag(trained):
+    """--resample is parsed-and-ignored exactly like the reference
+    (reference test.py:34 defines it; nothing reads it). Strict CLI parity:
+    the flag must be accepted and change nothing."""
     tmp, cfg_path = trained
-    env = dict(os.environ, PAPR_PLATFORM="cpu")
-    r = subprocess.run([sys.executable, "test.py", "--opt", cfg_path,
-                        "--resample"], cwd=REPO, env=env,
-                       capture_output=True, text=True, timeout=120)
-    assert r.returncode == 2
-    assert "unrecognized arguments" in r.stderr
+    out = _run(["test.py", "--opt", cfg_path, "--resample"])
+    assert "Avg test loss" in out
 
 
 def test_exposure_finetune_cli(trained, tmp_path):

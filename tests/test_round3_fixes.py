@@ -89,15 +89,22 @@ def test_cull_recall_knob_reaches_kernel():
     overlap = np.mean([len(set(a[i]) & set(b[i])) / 8
                        for i in range(a.shape[0])])
     assert overlap > 0.9, overlap
-    # and the knob itself is live: a floor recall target degrades overlap
-    # vs the exact sort more than the high-recall setting does (not dead).
-    c = np.asarray(select_topk_culled(
-        jnp.asarray(pts), alive, jnp.asarray(rayo), jnp.asarray(rayd), 8,
-        M=M, block=16, interpret=True, prefilter="approx",
-        recall_target=0.5))
-    overlap_lo = np.mean([len(set(c[i]) & set(b[i])) / 8
-                          for i in range(c.shape[0])])
-    assert not np.array_equal(c, a) or overlap_lo <= overlap
+    # and the knob itself is live: recall_target must reach the
+    # approx_min_k primitive. The output-based check used before round 5
+    # was a tautology (ADVICE r4), and on CPU approx_min_k is exact for
+    # any recall, so outputs genuinely cannot distinguish 0.5 from 0.99 —
+    # assert the plumbing structurally via the jaxpr's primitive params.
+    def jaxpr_for(recall):
+        # M=256 < P: a real cap, so the approx prefilter actually engages
+        # (at M=P the lossless-cap fast path skips approx_min_k entirely).
+        return str(jax.make_jaxpr(
+            lambda p, al, ro, rd: select_topk_culled(
+                p, al, ro, rd, 8, M=256, block=16, interpret=True,
+                prefilter="approx", recall_target=recall))(
+            jnp.asarray(pts), alive, jnp.asarray(rayo), jnp.asarray(rayd)))
+
+    assert "recall_target=0.5" in jaxpr_for(0.5)
+    assert "recall_target=0.99" in jaxpr_for(0.99)
 
 
 def test_render_frame_matches_host_ray_render():

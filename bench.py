@@ -171,25 +171,44 @@ def bench_render(hw=None):
         # device time — the tunnel's ~145 ms/frame dispatch+fetch floor
         # (measured with a trivial kernel, docs/status_round4.md) drops
         # out. On a locally-attached TPU host, serial ≈ device + ~2 ms.
+        # The sync is a host READBACK of the last frame: block_until_ready
+        # can return early through the axon tunnel (same caveat as the
+        # train bench), and the device executes dispatches in order, so
+        # the last frame landing on the host bounds all n.
         from papr_tpu.train.step import render_frame_async
         poses = [orbit(2 * np.pi * i / n + 0.05) for i in range(n)]
         t0 = time.perf_counter()
         outs = [render_frame_async(params, state, cfg, p, focal, focal,
                                    H, W, th, tw) for p in poses]
-        jax.block_until_ready(outs)
+        np.asarray(outs[-1])
         return (time.perf_counter() - t0) / n
 
-    frame8(1)                           # compile
-    serial = 1.0 / frame8(3)
-    fps_dev = 1.0 / frame8_device(4)
-    fps_pipe = 1.0 / frame8_pipe(4)
-    frame32(1)                          # compile fp32 variant
-    fps32 = 1.0 / frame32(3)
-    print(json.dumps({"metric": f"render_{H}x{W}_fps",
-                      "value": round(fps_pipe, 3), "unit": "frames/s",
-                      "serial_fps": round(serial, 3),
-                      "device_fps": round(fps_dev, 3),
-                      "fp32_fetch_fps": round(fps32, 3)}))
+    # PAPR_RENDER_MODES limits which variants run (comma list of
+    # serial,device,pipe,fp32) — A/B experiments only pay the compiles
+    # they need; default runs everything.
+    want = set((_os.environ.get("PAPR_RENDER_MODES") or
+                "serial,device,pipe,fp32").split(","))
+    out = {"metric": f"render_{H}x{W}_fps", "unit": "frames/s"}
+    if want & {"serial", "pipe"}:
+        frame8(1)                       # compile
+    if "serial" in want:
+        out["serial_fps"] = round(1.0 / frame8(3), 3)
+        _stamp(f"render serial_fps {out['serial_fps']}")
+    if "device" in want:
+        if not (want & {"serial", "pipe"}):
+            frame8_device(1)            # compile
+        out["device_fps"] = round(1.0 / frame8_device(4), 3)
+        _stamp(f"render device_fps {out['device_fps']}")
+    if "pipe" in want:
+        out["value"] = round(1.0 / frame8_pipe(4), 3)
+        _stamp(f"render pipelined fps {out['value']}")
+    if "fp32" in want:
+        frame32(1)                      # compile fp32 variant
+        out["fp32_fetch_fps"] = round(1.0 / frame32(3), 3)
+        _stamp(f"render fp32_fetch_fps {out['fp32_fetch_fps']}")
+    if "value" not in out:              # A/B runs: headline = device rate
+        out["value"] = out.get("device_fps", out.get("serial_fps"))
+    print(json.dumps(out))
 
 
 def bench_train(with_lpips: bool):

@@ -69,18 +69,19 @@ def _warn_qfold_ignored(why: str) -> None:
             "and no per-point query features (point_feats.use_inq).")
 
 
-def _warn_int8_ignored(why: str) -> None:
-    """One-time warning when ``tpu.int8_eval: true`` cannot take effect
-    (int8 walks exist only in the fused one-shot eval kernel)."""
+def _warn_int8_ignored(why: str, knob: str = "int8_eval") -> None:
+    """One-time warning when a ``tpu.int8_*: true`` knob cannot take effect
+    (int8 walks exist only in the rec-native streamed kernels)."""
     key = f"int8:{why}"
     if key not in _warned_multi:
         _warned_multi.add(key)
         import warnings
         warnings.warn(
-            f"tpu.int8_eval: true ignored — {why}; eval walks stay "
-            "bf16/fp32. Int8 eval needs tpu.fused_attn: streamrec with "
+            f"tpu.{knob}: true ignored — {why}; walks stay bf16/fp32. "
+            "Int8 eval needs tpu.fused_attn: streamrec with "
             "tpu.eval_fused: true (the one-shot eval kernel) on an "
-            "eval/render trace.")
+            "eval/render trace; int8 train needs the rec-native "
+            "two-kernel path (streamrec, no query folding).")
 
 
 # -------------------------------------------------------------- point init --
@@ -277,7 +278,7 @@ def mapping_apply(params: dict, cfg, shading_code: jnp.ndarray,
 
 def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
             remat: bool = True, dropout_rng=None, local: bool = False,
-            exact_select: bool = False):
+            exact_select: bool = False, quant_params=None):
     """Shared body of forward/evaluate: selection + attention + fusion.
 
     rays_o (N, 3), rays_d (N, H, W, 3) -> fused (N,H,W,C) fp32,
@@ -418,7 +419,8 @@ def _attend(params: dict, state: dict, cfg, rays_o, rays_d, policy: Policy,
                             alive, eps, policy, remat, use_embed_kernel,
                             use_score_kernel, use_stream,
                             rec_native=(fa == "streamrec"),
-                            eval_mode=exact_select)
+                            eval_mode=exact_select,
+                            quant_params=quant_params)
 
     # One wide gather instead of three narrow ones: TPU gathers of rows with
     # tiny trailing dims (3/1/64) hit a slow row-DMA path; a single gather of
@@ -523,7 +525,7 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                  eps: float, policy: Policy, remat: bool,
                  use_embed_kernel: bool, use_score_kernel: bool,
                  use_stream: bool = False, rec_native: bool = False,
-                 eval_mode: bool = False):
+                 eval_mode: bool = False, quant_params=None):
     """Fused attention path in K-MAJOR token order.
 
     All (tokens, dim) tensors on this path are plain 2D with token order
@@ -646,6 +648,18 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                 f"the one-shot eval kernel is not active here "
                 f"(rec_native={rec_native}, qfold={qfold}, "
                 f"eval_fused={bool(cfg.get_path('tpu.eval_fused', True))})")
+        # tpu.int8_train: quantize the TRAINING forward walks to int8 in
+        # the two rec-native kernels; their backward recomputes in bf16
+        # (straight-through). Default off — flip only with an A/B quality
+        # check (tools/int8_train_ab.py, docs/status_round5.md).
+        int8_train = (bool(cfg.get_path("tpu.int8_train", False))
+                      and not eval_mode)
+        if int8_train and (not rec_native or qfold):
+            _warn_int8_ignored(
+                f"the rec-native two-kernel path is not active here "
+                f"(rec_native={rec_native}, qfold={qfold})",
+                knob="int8_train")
+            int8_train = False
         if eval_one:
             from ..ops.stream_attn import attend_stream_eval
             vp = params["attn"]["embed_v"]
@@ -664,7 +678,9 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                 e.key.ff_act, e.key.ff_last_act,
                 e.value.ff_act, e.value.ff_last_act, attn_cfg.score_act,
                 bkg_score, normalize, eps, tile, interp, cdt_name,
-                mxu, vmem, int8=want_int8)                  # (T,C),(T,K+1)
+                mxu, vmem, int8=want_int8,
+                quant_params=quant_params if want_int8 else None)
+            # fused_f (T,C), attn (T,K+1)
         elif qfold:
             # Query-folded rec kernel: the query walk (posenc -> embedder
             # -> w_q) runs in-kernel; the k==0 grid step computes qq into a
@@ -694,7 +710,7 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                  float(e.pe_factor), float(e.pe_mult_factor), k_extra_dim),
                 e.key.ff_act, e.key.ff_last_act, attn_cfg.score_act,
                 bkg_score, eps, tile, interp, cdt_name,
-                mxu, vmem)                                  # (T, K+1)
+                mxu, vmem, int8_train)                      # (T, K+1)
         else:
             kx_parts = [jax.lax.stop_gradient(selected), proj, perp]
             if k_extra is not None:
@@ -750,7 +766,7 @@ def _attend_kmaj(params: dict, cfg, meta, idx, rays_o, rays_d, alive,
                 (tuple(int(l) for l in e.v_L), int(e.embed_type),
                  float(e.pe_factor), float(e.pe_mult_factor), v_extra_dim),
                 e.value.ff_act, e.value.ff_last_act, normalize, eps, tile,
-                interp, cdt_name, mxu, vmem)                # (T, C)
+                interp, cdt_name, mxu, vmem, int8_train)    # (T, C)
         else:
             vx_parts = [proj, perp]
             if v_extra is not None:
@@ -864,7 +880,7 @@ def forward(params: dict, state: dict, cfg, rays_o, rays_d, c2w=None,
 
 def evaluate(params: dict, state: dict, cfg, rays_o, rays_d, c2w=None,
              policy: Policy = F32, with_selected: bool = False,
-             local: bool = False):
+             local: bool = False, quant_params=None):
     """Attention half only, for tiled full-image rendering.
 
     Reference: models/model.py:462-492 — returns fused features
@@ -874,14 +890,90 @@ def evaluate(params: dict, state: dict, cfg, rays_o, rays_d, c2w=None,
     ``local=True`` marks a per-device trace inside a shard_map (the sharded
     tile render, train/step.py) where the Pallas kernels are safe despite
     ``jax.device_count() > 1``.
+
+    ``quant_params``: precomputed int8 walk quantization from
+    ``eval_quant_params`` (frame-level calibration for tiled renders —
+    without it, tpu.int8_eval self-calibrates per call).
     """
     fused, attn, selected, _ = _attend(params, state, cfg, rays_o, rays_d,
                                        policy, remat=False,
-                                       exact_select=True, local=local)
+                                       exact_select=True, local=local,
+                                       quant_params=quant_params)
     out = (fused[..., None, :], attn[..., None])
     if with_selected:
         return out + (selected,)
     return out
+
+
+def eval_quant_params(params, state, cfg, rays_o, rays_sample,
+                      policy: Policy = F32):
+    """Frame-level int8 calibration for tpu.int8_eval (tiled renders).
+
+    attend_stream_eval's per-call self-calibration re-measures activation
+    amax and requantizes the walk weights inside EVERY tile of a tiled
+    render (lax.map body — XLA cannot hoist it because the gathered records
+    differ per tile). The measured cost is ~50-70 ms per 800x800 frame in
+    small unfused XLA ops, which ate most of the int8 MXU win
+    (docs/status_round5.md A/B). This helper runs the same _walk_amax +
+    _quantize_walk ONCE per frame on a strided subsample of the raw point
+    records paired with a subsample of the frame's rays, and the result
+    threads through evaluate(quant_params=...) into the kernel.
+
+    Calibrating on raw (unselected) point records is conservative: selected
+    points are the near-ray subset, so pairing random points with frame
+    rays widens the geometry feature range (larger perp distances) and the
+    measured amax upper-bounds the per-tile one — less clipping risk, at
+    ~0.1 bit of resolution.
+
+    rays_o: (3,) or (1, 3) camera origin; rays_sample: (S, 3) ray
+    directions (need not be normalized). Returns
+    ((kwq, kinv, kdq), (vwq, vinv, vdq)) for attend_stream_eval.
+    """
+    from ..ops.fused_mlp import _ff_lns, resolve_mxu_reduce
+    from ..ops.geometry import normalize_vector
+    from ..ops.stream_attn import _quantize_walk, _rec_prep, _walk_amax
+
+    meta = model_meta(cfg)
+    pcf = cfg.geoms.point_feats
+    attn_cfg = cfg.models.attn
+    e = attn_cfg.embed
+    eps = float(cfg.eps)
+    record = _point_record(params, state["alive"], meta, pcf)   # (P, rp)
+    P, rp = record.shape
+    rays_sample = jnp.asarray(rays_sample).reshape(-1, 3)
+    S = int(min(1024, P, rays_sample.shape[0]))
+    rec_cal = record[(jnp.arange(S) * max(1, P // S))][None]    # (1, S, rp)
+    rays = normalize_vector(
+        rays_sample[(jnp.arange(S) * max(1, rays_sample.shape[0] // S))],
+        eps=eps)
+    rayo = jnp.broadcast_to(jnp.asarray(rays_o).reshape(1, 3), (S, 3))
+
+    cdt_name = jnp.dtype(policy.compute_dtype).name
+    tile = int(cfg.get_path("tpu.fused_tile", 512))
+    mxu = resolve_mxu_reduce(cfg)
+    k_extra_dim = int(pcf.dim) if (meta.use_pc_feats and pcf.use_ink) else 0
+    v_extra_dim = int(pcf.dim) if (meta.use_pc_feats and pcf.use_inv) else 0
+    k_desc = (tuple(int(l) for l in e.k_L), int(e.embed_type),
+              float(e.pe_factor), float(e.pe_mult_factor), k_extra_dim)
+    v_desc = (tuple(int(l) for l in e.v_L), int(e.embed_type),
+              float(e.pe_factor), float(e.pe_mult_factor), v_extra_dim)
+
+    from ..ops.fused_mlp import _mxu_scope
+    out = []
+    for name, desc, has_pos, ec in (("embed_k", k_desc, True, e.key),
+                                    ("embed_v", v_desc, False, e.value)):
+        p = params["attn"][name]
+        ws = tuple(l["w"].T for l in p["mlp"]["layers"])
+        bs = tuple(l["bias"] for l in p["mlp"]["layers"])
+        ln_in, ln_out = _ff_lns(p)
+        (_, _, pdims, S_mats, wsp, bsp, lns, wcfg) = _rec_prep(
+            rec_cal, ws, bs, ln_in, ln_out, desc, has_pos, ec.ff_act,
+            ec.ff_last_act, tile, cdt_name)
+        with _mxu_scope(mxu):
+            amax = _walk_amax(rec_cal, rayo, rays, S_mats, wcfg, wsp, bsp,
+                              lns, eps)
+        out.append(_quantize_walk(ws, pdims, amax))
+    return tuple(out)
 
 
 def composite_background(cfg, params, foreground, bkg_attn):

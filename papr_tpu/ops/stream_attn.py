@@ -774,23 +774,31 @@ def _rec_decode_bwd(g_enc, pe_saved, gsave, rays, Srec_ref, Sproj_ref,
     return d_rec, d_rayo, d_rays
 
 
-def _ksr_split(meta, refs):
+def _ksr_split(meta, refs, quant=False):
+    """Parse a rec-walk kernel's refs per the _rec_param_specs layout:
+    S(4), w(n), b(n), [inv(n), dq(n) when ``quant``], ln, rest. Returns
+    (S, w, b, (inv, dq), ln, rest) — quant rows are empty tuples when off."""
     kcfg = meta[0]
     n, has_li, has_lo = kcfg[0], kcfg[10], kcfg[11]
     S_refs = refs[:4]
     i = 4
     w_refs = refs[i:i + n]
     b_refs = refs[i + n:i + 2 * n]
+    i += 2 * n
+    inv_refs = dq_refs = ()
+    if quant:
+        inv_refs, dq_refs = refs[i:i + n], refs[i + n:i + 2 * n]
+        i += 2 * n
     nln = 2 * (has_li + has_lo)
-    ln_refs = refs[i + 2 * n:i + 2 * n + nln]
-    rest = refs[i + 2 * n + nln:]
-    return S_refs, w_refs, b_refs, ln_refs, rest
+    ln_refs = refs[i:i + nln]
+    rest = refs[i + nln:]
+    return S_refs, w_refs, b_refs, (inv_refs, dq_refs), ln_refs, rest
 
 
 def _ksr_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, *refs):
-    (kcfg, K, dm, score_act, bkg, cdt, tile, T, eps) = meta
-    (Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, ln_refs, rest = \
-        _ksr_split(meta, refs)
+    (kcfg, K, dm, score_act, bkg, cdt, tile, T, eps, quant) = meta
+    ((Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, (inv_refs, dq_refs),
+     ln_refs, rest) = _ksr_split(meta, refs, quant)
     wk_ref, bk_ref, attn_ref, raw_ref, ss_ref = rest
     k = pl.program_id(1)
 
@@ -799,7 +807,11 @@ def _ksr_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, *refs):
     rays = _mask3(rays_ref[:].astype(jnp.float32))
     enc, _, _ = _rec_encode(recb, rayo, rays, Srec, Sproj, Sperp,
                             rows_ref, eps)
-    y, _, _, _ = walk_body_fwd(kcfg, enc, w_refs, b_refs, ln_refs)
+    if quant:
+        y = walk_body_fwd_q(kcfg, enc, w_refs, inv_refs, dq_refs, b_refs,
+                            ln_refs)
+    else:
+        y, _, _, _ = walk_body_fwd(kcfg, enc, w_refs, b_refs, ln_refs)
     kk = _linear(y.astype(cdt), wk_ref, bk_ref, cdt)
     qq = _zero_lanes(qq_ref[:], dm).astype(jnp.float32)
     col = _dot_col(qq, kk, dm) / math.sqrt(dm)
@@ -824,7 +836,7 @@ def _ksr_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, qq_ref, raw_ref,
                     ss_ref, dattn_ref, *refs):
     (kcfg, K, dm, score_act, bkg, cdt, tile, T, eps) = meta
     n = kcfg[0]
-    (Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, ln_refs, rest = \
+    ((Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, _, ln_refs, rest) = \
         _ksr_split(meta, refs)
     wk_ref, bk_ref = rest[0], rest[1]
     (drec_ref, drayo_ref, drays_ref, dqq_ref, dwk_ref, dbk_ref) = rest[2:8]
@@ -948,12 +960,12 @@ def _rec_param_specs(n, pdims, S_mats, lns, const, quant=False):
 
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
-                                    20))
+                                    20, 21))
 def key_stream_scores_rec(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk,
                           enc_desc=None, act="relu", last_act="none",
                           score_act="relu", bkg_score=5.0, eps=1e-6,
                           tile=256, interpret=False, compute=None,
-                          mxu_reduce=None, vmem_mb=0):
+                          mxu_reduce=None, vmem_mb=0, int8=False):
     """Rec-native streamed key attention: geometry + posenc + embedder +
     score + softmax from the raw gathered point records, one dispatch.
 
@@ -963,18 +975,24 @@ def key_stream_scores_rec(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk,
       rayo/rays: (T, 3) fp32 ray origins / NORMALIZED directions.
       qq: (T, d_model) fp32 projected query.
       enc_desc: (Ls, embed_type, pe_factor, pe_mult, extra_dim).
+      int8: quantize the forward walk's dense stack to int8
+        (tpu.int8_train; self-calibrating like attend_stream_eval). The
+        BACKWARD is untouched — it recomputes the walk in the bf16/fp32
+        compute dtype, a straight-through estimator around the quantized
+        forward. Softmax backward stays exact: it consumes the saved
+        (raw, ss) the int8 forward actually produced.
     Returns:
       attn (T, K+1) fp32 softmax weights, background token last.
     """
     out, _ = _ksr_fwd(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk,
                       enc_desc, act, last_act, score_act, bkg_score, eps,
-                      tile, interpret, compute, mxu_reduce, vmem_mb)
+                      tile, interpret, compute, mxu_reduce, vmem_mb, int8)
     return out
 
 
 def _ksr_fwd(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, enc_desc,
              act, last_act, score_act, bkg_score, eps, tile, interpret,
-             compute, mxu_reduce=None, vmem_mb=0):
+             compute, mxu_reduce=None, vmem_mb=0, int8=False):
     K, T, rec_pad = rec.shape
     # Forward holds no per-layer activations, so it runs at twice the
     # backward's ray tile — fewer grid steps amortize the per-step VPU
@@ -988,14 +1006,22 @@ def _ksr_fwd(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, enc_desc,
     wkT = _pad2(wk.astype(cdt).T, pdims[-1], dm_pad)
     bk2 = _pad2(bk.astype(jnp.float32)[None, :], 1, dm_pad)
     meta = (kcfg, K, dm, score_act, float(bkg_score), cdt, tile, T,
-            float(eps))
+            float(eps), bool(int8))
     const = lambda t, k: (0, 0)
     trow = lambda t, k: (t, 0)
+    qrows = ()
+    if int8:
+        with _fm._mxu_scope(mxu_reduce):
+            amax = _walk_amax(rec, rayo, rays, S_mats, kcfg, wsp, bsp,
+                              lns, eps)
+        wsp, inv, dq = _quantize_walk(ws, pdims, amax)
+        qrows = tuple(inv) + tuple(dq)
     in_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
                  pl.BlockSpec((tile, rec_pad), trow),
                  pl.BlockSpec((tile, rec_pad), trow),
                  pl.BlockSpec((tile, dm_pad), trow)]
-                + _rec_param_specs(len(ws), pdims, S_mats, lns, const)
+                + _rec_param_specs(len(ws), pdims, S_mats, lns, const,
+                                   quant=bool(int8))
                 + [pl.BlockSpec((pdims[-1], dm_pad), const),
                    pl.BlockSpec((1, dm_pad), const)])
 
@@ -1012,13 +1038,15 @@ def _ksr_fwd(rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, enc_desc,
                        jax.ShapeDtypeStruct((T, K), jnp.float32)],
             interpret=interpret,
             **_cp(interpret, vmem_mb=vmem_mb),
-        )(rec, rayo, rays, qq, *S_mats, *wsp, *bsp, *lns, wkT, bk2)
+        )(rec, rayo, rays, qq, *S_mats, *wsp, *bsp, *qrows, *lns, wkT, bk2)
     return attn, (rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, raw,
                   ss)
 
 
 def _ksr_bwd(enc_desc, act, last_act, score_act, bkg_score, eps, tile,
-             interpret, compute, mxu_reduce, vmem_mb, res, dattn):
+             interpret, compute, mxu_reduce, vmem_mb, int8, res, dattn):
+    # ``int8`` only shapes the forward; the backward recomputes the walk in
+    # the full compute dtype (straight-through) and is identical either way.
     (rec, rayo, rays, qq, ws, bs, ln_in, ln_out, wk, bk, raw, ss) = res
     K, T, rec_pad = rec.shape
     n = len(ws)
@@ -1571,9 +1599,9 @@ key_stream_scores_recq.defvjp(_ksrq_fwd, _ksrq_bwd)
 
 
 def _vsr_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, *refs):
-    (vcfg, K, normalize, cdt, tile, T, eps) = meta
-    (Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, ln_refs, rest = \
-        _ksr_split(meta, refs)
+    (vcfg, K, normalize, cdt, tile, T, eps, quant) = meta
+    ((Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, (inv_refs, dq_refs),
+     ln_refs, rest) = _ksr_split(meta, refs, quant)
     fused_ref = rest[0]
     k = pl.program_id(1)
 
@@ -1582,7 +1610,11 @@ def _vsr_fwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, *refs):
     rays = _mask3(rays_ref[:].astype(jnp.float32))
     enc, _, _ = _rec_encode(recb, rayo, rays, Srec, Sproj, Sperp,
                             rows_ref, eps)
-    y, _, _, _ = walk_body_fwd(vcfg, enc, w_refs, b_refs, ln_refs)
+    if quant:
+        y = walk_body_fwd_q(vcfg, enc, w_refs, inv_refs, dq_refs, b_refs,
+                            ln_refs)
+    else:
+        y, _, _, _ = walk_body_fwd(vcfg, enc, w_refs, b_refs, ln_refs)
     yc = y.astype(cdt).astype(jnp.float32)
 
     attn = attn_ref[:].astype(jnp.float32)
@@ -1603,7 +1635,7 @@ def _vsr_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, dfused_ref,
                     *refs):
     (vcfg, K, normalize, cdt, tile, T, eps) = meta
     n = vcfg[0]
-    (Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, ln_refs, rest = \
+    ((Srec, Sproj, Sperp, rows_ref), w_refs, b_refs, _, ln_refs, rest) = \
         _ksr_split(meta, refs)
     (drec_ref, drayo_ref, drays_ref, dattn_ref) = rest[0:4]
     grads = rest[4:]
@@ -1674,40 +1706,51 @@ def _vsr_bwd_kernel(meta, rec_ref, rayo_ref, rays_ref, attn_ref, dfused_ref,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
+                                    18))
 def value_stream_fuse_rec(rec, rayo, rays, attn, ws, bs, ln_in, ln_out,
                           enc_desc=None, act="relu", last_act="none",
                           normalize=True, eps=1e-6, tile=256,
                           interpret=False, compute=None, mxu_reduce=None,
-                          vmem_mb=0):
+                          vmem_mb=0, int8=False):
     """Rec-native streamed value fuse: geometry + posenc + value embedder +
     renormalize/fuse from the raw gathered point records, one dispatch.
 
     Args as key_stream_scores_rec; attn is the (T, K+1) softmax output.
+    ``int8``: quantized forward walk, full-precision backward (see
+    key_stream_scores_rec — tpu.int8_train).
     Returns fused (T, d_out) fp32 features.
     """
     out, _ = _vsr_fwd(rec, rayo, rays, attn, ws, bs, ln_in, ln_out,
                       enc_desc, act, last_act, normalize, eps, tile,
-                      interpret, compute, mxu_reduce, vmem_mb)
+                      interpret, compute, mxu_reduce, vmem_mb, int8)
     return out
 
 
 def _vsr_fwd(rec, rayo, rays, attn, ws, bs, ln_in, ln_out, enc_desc, act,
              last_act, normalize, eps, tile, interpret, compute,
-             mxu_reduce=None, vmem_mb=0):
+             mxu_reduce=None, vmem_mb=0, int8=False):
     K, T, rec_pad = rec.shape
     tile = min(2 * tile, max(8, T))      # see _ksr_fwd
     (cdt, dims, pdims, S_mats, wsp, bsp, lns, vcfg) = _rec_prep(
         rec, ws, bs, ln_in, ln_out, enc_desc, False, act, last_act, tile,
         compute)
-    meta = (vcfg, K, bool(normalize), cdt, tile, T, float(eps))
+    meta = (vcfg, K, bool(normalize), cdt, tile, T, float(eps), bool(int8))
     const = lambda t, k: (0, 0)
     trow = lambda t, k: (t, 0)
+    qrows = ()
+    if int8:
+        with _fm._mxu_scope(mxu_reduce):
+            amax = _walk_amax(rec, rayo, rays, S_mats, vcfg, wsp, bsp,
+                              lns, eps)
+        wsp, inv, dq = _quantize_walk(ws, pdims, amax)
+        qrows = tuple(inv) + tuple(dq)
     in_specs = ([pl.BlockSpec((1, tile, rec_pad), lambda t, k: (k, t, 0)),
                  pl.BlockSpec((tile, rec_pad), trow),
                  pl.BlockSpec((tile, rec_pad), trow),
                  pl.BlockSpec((tile, K + 1), trow)]
-                + _rec_param_specs(len(ws), pdims, S_mats, lns, const))
+                + _rec_param_specs(len(ws), pdims, S_mats, lns, const,
+                                   quant=bool(int8)))
 
     with _fm._mxu_scope(mxu_reduce):
         fused = pl.pallas_call(
@@ -1718,13 +1761,14 @@ def _vsr_fwd(rec, rayo, rays, attn, ws, bs, ln_in, ln_out, enc_desc, act,
             out_shape=jax.ShapeDtypeStruct((T, pdims[-1]), jnp.float32),
             interpret=interpret,
             **_cp(interpret, vmem_mb=vmem_mb),
-        )(rec, rayo, rays, attn, *S_mats, *wsp, *bsp, *lns)
+        )(rec, rayo, rays, attn, *S_mats, *wsp, *bsp, *qrows, *lns)
     return fused[:, :dims[-1]], (rec, rayo, rays, attn, ws, bs, ln_in,
                                  ln_out)
 
 
 def _vsr_bwd(enc_desc, act, last_act, normalize, eps, tile, interpret,
-             compute, mxu_reduce, vmem_mb, res, dfused):
+             compute, mxu_reduce, vmem_mb, int8, res, dfused):
+    # int8 is forward-only (straight-through); backward is precision-full.
     rec, rayo, rays, attn, ws, bs, ln_in, ln_out = res
     K, T, rec_pad = rec.shape
     n = len(ws)
@@ -1971,7 +2015,7 @@ def attend_stream_eval(rec, rayo, rays, qq, kws, kbs, kln_in, kln_out, wk,
                        vlast="none", score_act="relu", bkg_score=5.0,
                        normalize=True, eps=1e-6, tile=256, interpret=False,
                        compute=None, mxu_reduce=None, vmem_mb=0,
-                       int8=False):
+                       int8=False, quant_params=None):
     """Fused rec-native eval attention: ONE dispatch from gathered records
     to (fused features, attention). Forward-only — raises under
     differentiation (training uses key_stream_scores_rec +
@@ -2005,13 +2049,21 @@ def attend_stream_eval(rec, rayo, rays, qq, kws, kbs, kln_in, kln_out, wk,
     trow = lambda t, k: (t, 0)
     kq = vq = ()
     if int8:
-        with _fm._mxu_scope(mxu_reduce):
-            k_amax = _walk_amax(rec, rayo, rays, S_k, kcfg, kwsp, kbsp,
-                                klns, eps)
-            v_amax = _walk_amax(rec, rayo, rays, S_v, vcfg, vwsp, vbsp,
-                                vlns, eps)
-        kwq, kinv, kdq = _quantize_walk(kws, kpdims, k_amax)
-        vwq, vinv, vdq = _quantize_walk(vws, vpdims, v_amax)
+        if quant_params is not None:
+            # Hoisted calibration (eval_quant_params): the caller measured
+            # amax ONCE per frame instead of once per tile — the per-call
+            # _walk_amax + requantize below is ~0.2% of the walk FLOPs but
+            # runs as dozens of small unfused XLA ops per tile, which cost
+            # more than the int8 MXU saving at render tile counts.
+            (kwq, kinv, kdq), (vwq, vinv, vdq) = quant_params
+        else:
+            with _fm._mxu_scope(mxu_reduce):
+                k_amax = _walk_amax(rec, rayo, rays, S_k, kcfg, kwsp, kbsp,
+                                    klns, eps)
+                v_amax = _walk_amax(rec, rayo, rays, S_v, vcfg, vwsp, vbsp,
+                                    vlns, eps)
+            kwq, kinv, kdq = _quantize_walk(kws, kpdims, k_amax)
+            vwq, vinv, vdq = _quantize_walk(vws, vpdims, v_amax)
         kwsp, vwsp = kwq, vwq                  # int8 weights ride the
         kq = tuple(kinv) + tuple(kdq)          # same specs; scale rows
         vq = tuple(vinv) + tuple(vdq)          # append after the biases

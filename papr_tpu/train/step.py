@@ -114,11 +114,14 @@ def _render_mesh(cfg):
     return make_mesh(data, rays)
 
 
-def _sharded_tile_attend(params, state, cfg, policy, rayo, flat, mesh):
+def _sharded_tile_attend(params, state, cfg, policy, rayo, flat, mesh,
+                         quant_params=None):
     """Tile-sharded attention pass: flat (N, T, th, tw, 3) tiles spread over
     every mesh device; each device lax.maps its local tiles through
     ``evaluate`` with the Pallas kernels live. Returns (f, a, s) shaped like
-    the single-device lax.map-over-tiles pass."""
+    the single-device lax.map-over-tiles pass. ``quant_params`` (frame-level
+    int8 calibration) is replicated to every device — identical quantization
+    on every tile keeps mesh renders bit-equal to single-device ones."""
     from jax.sharding import PartitionSpec as P
 
     N, T, th, tw, _ = flat.shape
@@ -131,12 +134,12 @@ def _sharded_tile_attend(params, state, cfg, policy, rayo, flat, mesh):
     tiles_g = flat.reshape(G, th, tw, 3)[gidx]
     rayo_g = jnp.repeat(rayo, T, axis=0)[gidx]
 
-    def local_fn(p, s, o_loc, t_loc):
+    def local_fn(p, s, o_loc, t_loc, qp):
         def one_tile(args):
             o, rd = args
             fused, attn, sel = evaluate(p, s, cfg, o[None], rd[None],
                                         policy=policy, with_selected=True,
-                                        local=True)
+                                        local=True, quant_params=qp)
             return fused[0], attn[0], sel[0]
 
         return jax.lax.map(one_tile, (o_loc, t_loc))
@@ -144,9 +147,9 @@ def _sharded_tile_attend(params, state, cfg, policy, rayo, flat, mesh):
     spec = P(("data", "rays"))
     f, a, s = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P(), spec, spec),
+        in_specs=(P(), P(), spec, spec, P()),
         out_specs=(spec, spec, spec),
-        check_vma=False)(params, state, rayo_g, tiles_g)
+        check_vma=False)(params, state, rayo_g, tiles_g, quant_params)
     unpad = lambda x: x[:G].reshape(N, T, *x.shape[1:])
     return unpad(f), unpad(a), unpad(s)
 
@@ -203,9 +206,21 @@ def _tiled_render_body(params, state, cfg, policy, rayo, rayd_tiles,
     N, ty, tx, th, tw, _ = rayd_tiles.shape
     flat = rayd_tiles.reshape(N, ty * tx, th, tw, 3)
 
+    # tpu.int8_eval: calibrate + quantize the walks ONCE per frame instead
+    # of inside every tile's trace (eval_quant_params — the per-tile
+    # self-calibration cost ate most of the int8 win, status_round5.md).
+    qp = None
+    if (bool(cfg.get_path("tpu.int8_eval", False))
+            and bool(cfg.get_path("tpu.eval_fused", True))):
+        from ..model.papr import eval_quant_params
+        all_rays = flat.reshape(-1, 3)
+        stride = max(1, all_rays.shape[0] // 1024)
+        qp = eval_quant_params(params, state, cfg, rayo[0],
+                               all_rays[::stride], policy=policy)
+
     if mesh is not None and mesh.size > 1:
         f, a, s = _sharded_tile_attend(params, state, cfg, policy, rayo,
-                                       flat, mesh)
+                                       flat, mesh, qp)
     else:
         def per_image(args):
             o, tiles = args
@@ -213,7 +228,7 @@ def _tiled_render_body(params, state, cfg, policy, rayo, rayd_tiles,
             def one_tile(rd):
                 fused, attn, sel = evaluate(
                     params, state, cfg, o[None], rd[None],
-                    policy=policy, with_selected=True)
+                    policy=policy, with_selected=True, quant_params=qp)
                 return fused[0], attn[0], sel[0]
 
             return jax.lax.map(one_tile, tiles)

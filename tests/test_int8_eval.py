@@ -171,6 +171,33 @@ def test_quantize_walk_reconstruction():
     assert float(np.asarray(inv[0])[0, 5]) == 0.0
 
 
+def test_int8_frame_level_calibration_close_to_fp():
+    """Tiled renders hoist the int8 calibration to once per frame
+    (eval_quant_params): the full-image int8 render must stay close to the
+    fp render — frame-level amax is a conservative superset of the
+    per-tile one, so closeness bounds both the quantization and the
+    calibration-transfer error."""
+    from test_round2_fixes import tiny_cfg
+    from papr_tpu.model.papr import create_model
+    from papr_tpu.train.step import render_full_image
+
+    kern = {"fused_attn": "streamrec", "eval_fused": True}
+    cfg_fp = tiny_cfg(tpu=dict(kern))
+    cfg_q = tiny_cfg(tpu={**kern, "int8_eval": True})
+    params, state = create_model(cfg_fp, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    rayo = rng.normal(size=(1, 3)).astype(np.float32) * 3.0
+    rayd = rng.normal(size=(1, 20, 24, 3)).astype(np.float32)
+    rayd /= np.linalg.norm(rayd, axis=-1, keepdims=True)
+    fp = render_full_image(params, state, cfg_fp, rayo, rayd, 10, 12)
+    q = render_full_image(params, state, cfg_q, rayo, rayd, 10, 12)
+    for k in ("rgb", "bkg_attn"):
+        a, b = np.asarray(fp[k]), np.asarray(q[k])
+        assert np.all(np.isfinite(b)), k
+        tol = 0.06 * (np.abs(a).max() + 1e-9)
+        assert np.abs(a - b).max() < tol, (k, np.abs(a - b).max(), tol)
+
+
 def test_int8_mesh_render_matches_local_int8():
     """tpu.int8_eval on a sharded (2, 4) mesh render: every device runs the
     int8 one-shot kernel on its tiles with per-tile self-calibration —

@@ -1,14 +1,18 @@
-"""A/B the eval candidate cap (tpu.cull_candidates_eval) on a trained run.
+"""A/B the eval candidate cap (tpu.cull_candidates_eval) on trained runs.
 
-Renders the first two test views of a finished experiment at the default
-cap (auto=2048) and at 1024/512, reporting PSNR vs ground truth and the
-max abs frame difference vs the default. Used for the round-4 measurement
-in docs/status_round4.md (quality_r4: bit-identical at every cap, +8.1%
-device FPS at 512 — see the dated A/B table).
+For each (config, experiment) pair, renders ``--views`` test views at the
+default cap (auto=2048) and at 1024/512, reporting per-view PSNR vs ground
+truth and the max abs frame difference vs the default cap. Round 4 measured
+2 views of one scene; round 5 extends to >=8 views across every committed
+checkpoint (VERDICT r4 item 8) so the README's "real speed dial" claim has
+per-(M, scene) evidence (docs/status_round5.md).
 
-Usage: python tools/cap_quality_ab.py [config_yml] [experiment_dir]
+Usage:
+  python tools/cap_quality_ab.py [--views 8] [cfg:expdir [cfg:expdir ...]]
+Defaults to the round-5 quality runs if no pairs are given.
 """
 
+import argparse
 import pathlib
 import sys
 
@@ -22,8 +26,13 @@ from papr_tpu.train.checkpoint import load_checkpoint
 from papr_tpu.train.step import render_full_image
 from papr_tpu.utils.metrics import psnr_np
 
+DEFAULT_PAIRS = [
+    "configs/quality_r4.yml:experiments/quality_r4",
+    "configs/quality_r5_t2.yml:experiments/quality_r5_t2",
+]
 
-def main(cfg_path="configs/quality_r4.yml", exp_dir="experiments/quality_r4"):
+
+def run_pair(cfg_path, exp_dir, views, caps=(None, 1024, 512)):
     def cfg_with(cap):
         over = {"tpu": {"cull_candidates_eval": cap}} if cap else {}
         return load_config(cfg_path, overrides=over)
@@ -31,33 +40,50 @@ def main(cfg_path="configs/quality_r4.yml", exp_dir="experiments/quality_r4"):
     cfg0 = cfg_with(None)
     step, tree = load_checkpoint(exp_dir)
     params, state = tree["params"], tree["state"]
-    print("checkpoint step", step)
+    print(f"== {exp_dir} (checkpoint step {step})")
     ds = get_dataset(cfg0.dataset, mode="test", seed=int(cfg0.seed))
     loader = get_loader(ds, cfg0.dataset, mode="test")
     batches = []
     for i, b in enumerate(loader):
         batches.append(b)
-        if i >= 1:
+        if i >= views - 1:
             break
+    th = int(cfg0.get_path("test.max_height", 100))
+    tw = int(cfg0.get_path("test.max_width", 100))
 
     frames = {}
-    for cap in (None, 1024, 512):
+    for cap in caps:
         cfg = cfg_with(cap)
         outs = [np.asarray(render_full_image(params, state, cfg, b.rayo,
-                                             b.rayd, 100, 100,
+                                             b.rayd, th, tw,
                                              rgb_only=True)["rgb"])
                 for b in batches]
         frames[cap] = outs
         ps = [float(psnr_np(np.clip(outs[i][0], 0, 1),
                             np.asarray(batches[i].image[0])))
               for i in range(len(batches))]
-        print("cap", cap, "psnr", [round(p, 4) for p in ps])
-    for cap in (1024, 512):
+        print(f"cap {cap}: psnr per view {[round(p, 4) for p in ps]} "
+              f"mean {np.mean(ps):.4f}")
+    for cap in caps[1:]:
         d = [float(np.abs(frames[cap][i].astype(np.float64) -
-                          frames[None][i].astype(np.float64)).max())
+                          frames[caps[0]][i].astype(np.float64)).max())
              for i in range(len(batches))]
-        print("cap", cap, "max |diff| vs default:", d)
+        print(f"cap {cap}: max |diff| vs default per view: {d} "
+              f"(max {max(d):.3e})")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("pairs", nargs="*", default=DEFAULT_PAIRS)
+    args = ap.parse_args()
+    for pair in args.pairs:
+        cfg_path, exp_dir = pair.split(":")
+        try:
+            run_pair(cfg_path, exp_dir, args.views)
+        except FileNotFoundError as e:
+            print(f"== {exp_dir}: SKIPPED ({e})")
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    main()

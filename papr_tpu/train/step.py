@@ -243,6 +243,8 @@ def _tiled_render_body(params, state, cfg, policy, rayo, rayd_tiles,
     fused = untile(f)          # (N, Hp, Wp, 1, C)
     attn = untile(a)           # (N, Hp, Wp, k+1, 1)
     if not run_unet:           # attention-only (cIMLE resampling)
+        if not extras:         # skip the (N,Hp,Wp,K,3) selected-points
+            return fused, attn  # untile+write (stage profiling)
         return fused, attn, untile(s)
     if meta.use_renderer:
         fg = render_foreground(params, cfg, fused[..., 0, :],

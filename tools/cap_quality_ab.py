@@ -27,8 +27,11 @@ from papr_tpu.train.step import render_full_image
 from papr_tpu.utils.metrics import psnr_np
 
 DEFAULT_PAIRS = [
-    "configs/quality_r4.yml:experiments/quality_r4",
+    # experiments/ is recycled between rounds; default to checkpoints that
+    # exist in a round-5 session (each experiment dir saves its config).
+    "experiments/int8ab_bf16/int8ab_bf16.yml:experiments/int8ab_bf16",
     "configs/quality_r5_t2.yml:experiments/quality_r5_t2",
+    "configs/quality_r5_250k.yml:experiments/quality_r5_250k",
 ]
 
 

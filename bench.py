@@ -336,6 +336,17 @@ def main():
         raise SystemExit("bench: child process without PAPR_BENCH")
     if mode == "render":
         return bench_render()
+    if mode == "render_tuned":
+        # Stacked speed levers (status_round5.md A/B): int8 eval walks +
+        # candidate cap 512, device-rate only. Reported alongside the
+        # sound defaults — the levers stay default-off because the cap is
+        # a recall trade on unseen geometry and int8 an approximation
+        # (tools/cap_quality_ab.py / tools/int8_quality_ab.py quantify
+        # both per trained checkpoint).
+        _os.environ.setdefault("PAPR_RENDER_MODES", "device")
+        _os.environ["PAPR_INT8_EVAL"] = "1"
+        _os.environ.setdefault("PAPR_CULL_CAND_EVAL", "512")
+        return bench_render()
     if mode == "render_t2":
         # T&T eval shape (1280x2176 native at factor 2). Not part of the
         # orchestrated line — run explicitly: PAPR_BENCH=render_t2.
@@ -382,6 +393,10 @@ def main():
         no_lpips = _run_mode("train")
         if no_lpips:
             out["train_rays_per_sec_no_lpips"] = no_lpips["value"]
+            print(json.dumps(out), flush=True)
+        tuned = _run_mode("render_tuned")
+        if tuned:
+            out["render_800x800_fps_device_tuned"] = tuned["value"]
             print(json.dumps(out), flush=True)
     _stamp("all modes done")
 

@@ -20,7 +20,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
-from papr_tpu.config import load_config
+from papr_tpu.config import Config, load_config, make_test_config
 from papr_tpu.dataset import get_dataset, get_loader
 from papr_tpu.train.checkpoint import load_checkpoint
 from papr_tpu.train.step import render_full_image
@@ -44,8 +44,16 @@ def run_pair(cfg_path, exp_dir, views, caps=(None, 1024, 512)):
     step, tree = load_checkpoint(exp_dir)
     params, state = tree["params"], tree["state"]
     print(f"== {exp_dir} (checkpoint step {step})")
-    ds = get_dataset(cfg0.dataset, mode="test", seed=int(cfg0.seed))
-    loader = get_loader(ds, cfg0.dataset, mode="test")
+    # Build the dataset exactly as test.py does (make_test_config over the
+    # first test.datasets entry): the merged entry carries the default
+    # testset's extract_patch: false, so views are FULL frames. Passing the
+    # raw train cfg.dataset here instead yields 180x180 random test-view
+    # patches (its extract_patch: true survives) — a weaker, patch-scoped
+    # measurement (this bit the first round-5 cap table; status_round5.md).
+    entry = Config(cfg0.test.datasets[0])
+    dcfg = make_test_config(cfg0, entry).dataset
+    ds = get_dataset(dcfg, mode="test", seed=int(cfg0.seed))
+    loader = get_loader(ds, dcfg, mode="test")
     batches = []
     for i, b in enumerate(loader):
         batches.append(b)

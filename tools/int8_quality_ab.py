@@ -15,7 +15,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
-from papr_tpu.config import load_config
+from papr_tpu.config import Config, load_config, make_test_config
 from papr_tpu.dataset import get_dataset, get_loader
 from papr_tpu.train.checkpoint import load_checkpoint
 from papr_tpu.train.step import render_full_image
@@ -33,8 +33,12 @@ def main(cfg_path="configs/quality_r4.yml", exp_dir="experiments/quality_r4",
     step, tree = load_checkpoint(exp_dir)
     params, state = tree["params"], tree["state"]
     print("checkpoint step", step)
-    ds = get_dataset(cfg0.dataset, mode="test", seed=int(cfg0.seed))
-    loader = get_loader(ds, cfg0.dataset, mode="test")
+    # Full-frame test views via test.py's exact dataset construction
+    # (make_test_config; see the note in tools/cap_quality_ab.py).
+    entry = Config(cfg0.test.datasets[0])
+    dcfg = make_test_config(cfg0, entry).dataset
+    ds = get_dataset(dcfg, mode="test", seed=int(cfg0.seed))
+    loader = get_loader(ds, dcfg, mode="test")
     batches = []
     for i, b in enumerate(loader):
         batches.append(b)
@@ -44,8 +48,10 @@ def main(cfg_path="configs/quality_r4.yml", exp_dir="experiments/quality_r4",
     frames = {}
     for int8 in (False, True):
         cfg = cfg_with(int8)
+        th = int(cfg.get_path("test.max_height", 100))
+        tw = int(cfg.get_path("test.max_width", 100))
         outs = [np.asarray(render_full_image(params, state, cfg, b.rayo,
-                                             b.rayd, 100, 100,
+                                             b.rayd, th, tw,
                                              rgb_only=True)["rgb"])
                 for b in batches]
         frames[int8] = outs
